@@ -1,0 +1,218 @@
+"""Dynamic-range compression kernels.
+
+Replaces pydub ``compress_dynamic_range`` + the reference's 3-band wiring
+(audio_mastering_engine.py:299-309 — SURVEY.md C10/N7). Three device paths:
+
+1. ``pydub_compress_exact`` — bit-faithful pydub semantics, including its
+   quirks, as a sequential ``lax.scan`` over samples. The detector
+   (windowed integer RMS) is fully parallel; only the 1-D gain recurrence is
+   sequential. Used for golden parity tests and available as a compat flag;
+   too slow for the hot path on very long tracks.
+
+2. ``pydub_compress_fast`` — same detector, with the gain recurrence
+   recast as an associative scan over *clamped-accumulator* maps
+   f(g) = clip(g + d, lo, hi), which compose closed-form. This reproduces
+   pydub everywhere except one corner: when the instantaneous max-attenuation
+   drops below the current attenuation *while the detector is still above
+   threshold*, pydub walks down at the release rate, while the clamp snaps
+   immediately. Bounded-error approximation, verified in tests.
+
+3. ``compress_quality`` — the product-grade compressor: windowed-RMS level
+   in dB, threshold/ratio gain computer, smooth decoupled peak detector
+   (release = (×,max)-semiring scan, attack = one-pole biquad scan). All
+   stages associative — O(log N) depth, no sequential loop.
+
+pydub semantics notes (derived from pydub 0.25 effects.compress_dynamic_range
+behavior; pydub is not installed here, so the numpy oracle in
+tests/oracles.py encodes the same spec):
+  * detector RMS is the *integer* audioop rms over the previous
+    ``attack_ms`` worth of frames, both channels interleaved, window
+    exclusive of the current frame; empty window (first frames) -> rms 0.
+  * thresh_rms = 32768 * 10^(threshold_db/20).
+  * max_attenuation_db = (1 - 1/ratio) * max(0, 20*log10(rms/thresh_rms)).
+  * per-sample: if rms > thresh and att <= max_att:
+        att = min(att + max_att/attack_frames, max_att)
+    else:
+        att = max(att - max_att/release_frames, 0)
+    — note: when rms <= thresh, max_att is 0, so the decrement is 0 and the
+    attenuation FREEZES (pydub never releases below-threshold; kept
+    verbatim in compat).
+  * output sample = trunc(int_sample * 10^(-att/20)) with int16 saturation,
+    applied only when att != 0.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ame_tpu.ops import window as W
+from ame_tpu.ops.scan_iir import biquad_scan
+
+
+# ---------------------------------------------------------------------------
+# Shared detector
+# ---------------------------------------------------------------------------
+
+def pydub_detector(x_int: jax.Array, sample_rate: float, threshold_db,
+                   ratio, attack_ms: float = 5.0):
+    """Per-frame integer RMS + max-attenuation, pydub conventions.
+
+    x_int: [N, C] int16-valued float32 (output of quantize.float_to_int16).
+    Returns (rms, max_att_db, thresh_rms): all [N] float32.
+    """
+    n, c = x_int.shape
+    look = int(int(attack_ms * sample_rate / 1000.0))  # int(frame_count)
+    sq = jnp.sum(x_int * x_int, axis=1)  # per-frame sum over channels
+    if look > 0:
+        wsum = W.windowed_sum_exclusive(sq, look)
+    else:
+        wsum = jnp.zeros_like(sq)
+    count = float(max(look, 1) * c)
+    # audioop.rms floors to int
+    rms = jnp.floor(jnp.sqrt(jnp.maximum(wsum, 0.0) / count))
+    rms = jnp.where(jnp.arange(n) >= look, rms, 0.0)
+
+    thresh_rms = 32768.0 * 10.0 ** (jnp.asarray(threshold_db) / 20.0)
+    db_over = jnp.where(
+        rms > 0,
+        jnp.maximum(20.0 * jnp.log10(jnp.maximum(rms, 1e-9) / thresh_rms), 0.0),
+        0.0)
+    max_att = (1.0 - 1.0 / jnp.asarray(ratio)) * db_over
+    return rms, max_att, thresh_rms
+
+
+def _apply_attenuation_int(x_int: jax.Array, att_db: jax.Array) -> jax.Array:
+    """audioop.mul semantics: scale int16 samples, truncate toward zero,
+    saturate. att == 0 exactly -> bit-identical passthrough."""
+    factor = 10.0 ** (-att_db / 20.0)
+    scaled = jnp.trunc(x_int * factor[:, None])
+    scaled = jnp.clip(scaled, -32768.0, 32767.0)
+    return jnp.where((att_db == 0.0)[:, None], x_int, scaled)
+
+
+# ---------------------------------------------------------------------------
+# 1. Exact sequential path
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(1,))
+def _pydub_gain_seq(inputs, frames):
+    """attenuation recurrence via lax.scan (exact)."""
+    above, max_att = inputs
+    attack_frames, release_frames = frames
+
+    def step(att, inp):
+        ab, m = inp
+        inc = m / attack_frames
+        dec = m / release_frames
+        attacking = ab & (att <= m)
+        att_new = jnp.where(attacking,
+                            jnp.minimum(att + inc, m),
+                            jnp.maximum(att - dec, 0.0))
+        return att_new, att_new
+
+    _, att = jax.lax.scan(step, jnp.float32(0.0), (above, max_att))
+    return att
+
+
+def pydub_compress_exact(x_int: jax.Array, sample_rate: float, threshold_db,
+                         ratio, attack_ms: float = 5.0,
+                         release_ms: float = 50.0) -> jax.Array:
+    rms, max_att, thresh_rms = pydub_detector(
+        x_int, sample_rate, threshold_db, ratio, attack_ms)
+    attack_frames = attack_ms * sample_rate / 1000.0
+    release_frames = release_ms * sample_rate / 1000.0
+    att = _pydub_gain_seq((rms > thresh_rms, max_att),
+                          (attack_frames, release_frames))
+    return _apply_attenuation_int(x_int, att)
+
+
+# ---------------------------------------------------------------------------
+# 2. Fast associative path (clamped-accumulator algebra)
+# ---------------------------------------------------------------------------
+
+def _clip_combine(e1, e2):
+    """Compose f1 then f2 where f(g) = min(hi, max(lo, g + d)), lo <= hi.
+
+    f2(f1(g)) = min(hi', max(lo', g + d1 + d2)) with
+      hi' = min(h2, max(l2, h1 + d2))   (= median(l2, h1+d2, h2))
+      lo' = max(l2, l1 + d2), re-clamped to hi' so a degenerate
+            composition (lo > hi == constant function) stays canonical.
+    Exact function composition -> associative."""
+    d1, lo1, hi1 = e1
+    d2, lo2, hi2 = e2
+    d = d1 + d2
+    hi = jnp.minimum(hi2, jnp.maximum(lo2, hi1 + d2))
+    lo = jnp.minimum(jnp.maximum(lo2, lo1 + d2), hi)
+    return d, lo, hi
+
+
+@jax.jit
+def _pydub_gain_fast(above, max_att, attack_frames, release_frames):
+    inc = max_att / attack_frames
+    dec = max_att / release_frames
+    # attacking step: clip(g + inc, 0, m); releasing step: clip(g - dec, 0, inf)
+    d = jnp.where(above, inc, -dec)
+    lo = jnp.zeros_like(max_att)
+    hi = jnp.where(above, max_att, jnp.inf)
+    dd, llo, hhi = jax.lax.associative_scan(_clip_combine, (d, lo, hi), axis=0)
+    # apply composed map to initial attenuation 0
+    return jnp.clip(dd, llo, hhi)
+
+
+def pydub_compress_fast(x_int: jax.Array, sample_rate: float, threshold_db,
+                        ratio, attack_ms: float = 5.0,
+                        release_ms: float = 50.0) -> jax.Array:
+    rms, max_att, thresh_rms = pydub_detector(
+        x_int, sample_rate, threshold_db, ratio, attack_ms)
+    attack_frames = attack_ms * sample_rate / 1000.0
+    release_frames = release_ms * sample_rate / 1000.0
+    att = _pydub_gain_fast(rms > thresh_rms, max_att,
+                           jnp.float32(attack_frames),
+                           jnp.float32(release_frames))
+    return _apply_attenuation_int(x_int, att)
+
+
+# ---------------------------------------------------------------------------
+# 3. Quality path — smooth decoupled detector, all-associative
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(1,))
+def _compress_quality_jit(args, static):
+    x, threshold_db, ratio, makeup_db = args
+    sample_rate, attack_ms, release_ms, rms_ms = static
+
+    n = x.shape[0]
+    rms_w = max(int(rms_ms * sample_rate / 1000.0), 1)
+    # level detector: windowed RMS (power domain), both channels
+    sq = jnp.mean(x * x, axis=1)
+    mean_sq = W.moving_mean_past(sq, rms_w)
+    level_db = 10.0 * jnp.log10(jnp.maximum(mean_sq, 1e-12))
+
+    # gain computer (downward compression above threshold)
+    over = jnp.maximum(level_db - threshold_db, 0.0)
+    gr_db = over * (1.0 - 1.0 / ratio)  # desired gain reduction, >= 0
+
+    # smooth decoupled: release as (×,max) scan, then attack one-pole
+    rel_decay = jnp.exp(-1.0 / (release_ms * sample_rate / 1000.0))
+    gr_rel = W.release_scan(gr_db, rel_decay)
+    a = float(jnp.exp(-1.0 / (attack_ms * sample_rate / 1000.0)))
+    coeffs = jnp.array([1.0 - a, 0.0, 0.0, 1.0, -a, 0.0], x.dtype)
+    gr_smooth, _ = biquad_scan(gr_rel, coeffs)
+
+    gain = 10.0 ** ((makeup_db - gr_smooth) / 20.0)
+    return x * gain[:, None]
+
+
+def compress_quality(x: jax.Array, sample_rate: float, threshold_db, ratio,
+                     attack_ms: float = 5.0, release_ms: float = 50.0,
+                     rms_ms: float = 5.0, makeup_db=0.0) -> jax.Array:
+    """Feed-forward RMS compressor with smooth decoupled attack/release.
+    x: [N, C] float in [-1, 1]; gain shared across channels."""
+    return _compress_quality_jit(
+        (x, jnp.asarray(threshold_db, x.dtype), jnp.asarray(ratio, x.dtype),
+         jnp.asarray(makeup_db, x.dtype)),
+        (float(sample_rate), float(attack_ms), float(release_ms),
+         float(rms_ms)))

@@ -1,0 +1,204 @@
+"""CPU oracles: the reference chain's formulas implemented verbatim in
+numpy/scipy float64 (SURVEY.md §4 — the reference itself has no tests, so
+these oracles ARE the behavioral spec the device kernels are diffed against).
+
+Each function cites the reference site it transcribes semantically.
+pydub/audioop are not installed here; their semantics are encoded from the
+pydub-0.25 effects/audioop behavior described in SURVEY.md N7/C10.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.signal import butter, lfilter, sosfilt
+
+
+# --- format converters (engine:250-257, quirk Q5) --------------------------
+
+def float_to_int16(x):
+    return np.trunc(np.clip(x, -1.0, 1.0) * 32767.0)
+
+
+def int16_to_float(i):
+    return i / 32768.0
+
+
+def int16_roundtrip(x):
+    return float_to_int16(x) / 32768.0
+
+
+# --- shelf / peak (engine:283-298) ------------------------------------------
+
+def apply_shelf_filter(samples, sample_rate, cutoff_hz, gain_db, filter_type):
+    if gain_db == 0.0:
+        return samples
+    b, a = butter(2, cutoff_hz / (0.5 * sample_rate), btype=filter_type)
+    y = lfilter(b, a, samples, axis=0)
+    gain = 10.0 ** (gain_db / 20.0)
+    if gain_db > 0:
+        return samples + (y - samples) * (gain - 1)
+    return samples * gain + (y - samples * gain)  # == y (quirk Q1)
+
+
+def apply_peak_filter(samples, sample_rate, center_hz, gain_db, q=1.41):
+    if gain_db == 0:
+        return samples
+    nyquist = 0.5 * sample_rate
+    center_norm = center_hz / nyquist
+    bandwidth = center_norm / q
+    low = center_norm - bandwidth / 2
+    high = center_norm + bandwidth / 2
+    if low <= 0:
+        low = 1e-9
+    if high >= 1.0:
+        high = 0.999999
+    sos = butter(4, [low, high], btype="bandpass", output="sos")
+    band = sosfilt(sos, samples, axis=0)
+    gain_factor = 10 ** (gain_db / 20.0)
+    return samples + band * (gain_factor - 1)
+
+
+def apply_eq(samples, sample_rate, settings):
+    """engine:272-282 — per-channel chain, float32 in-place downcast (Q10)."""
+    s = np.array(samples, np.float32)
+
+    def chan(c):
+        c = apply_shelf_filter(c, sample_rate, 250,
+                               settings.get("bass_boost", 0.0), "low")
+        c = apply_peak_filter(c, sample_rate, 1000,
+                              -settings.get("mid_cut", 0.0))
+        c = apply_peak_filter(c, sample_rate, 4000,
+                              settings.get("presence_boost", 0.0))
+        c = apply_shelf_filter(c, sample_rate, 8000,
+                               settings.get("treble_boost", 0.0), "high")
+        return c
+
+    if s.ndim == 2:
+        for i in range(s.shape[1]):
+            s[:, i] = chan(s[:, i].astype(np.float64))
+    else:
+        s = chan(s)
+    return s
+
+
+# --- stereo width (engine:267-271) ------------------------------------------
+
+def apply_stereo_width(samples, width):
+    if samples.ndim != 2 or samples.shape[1] != 2:
+        return samples
+    left, right = samples[:, 0], samples[:, 1]
+    mid, side = (left + right) / 2, (left - right) / 2
+    side = side * width
+    return np.stack([np.clip(mid + side, -1, 1),
+                     np.clip(mid - side, -1, 1)], axis=1)
+
+
+# --- analog character (engine:258-266) --------------------------------------
+
+def apply_analog_character(x_float, sample_rate, character_percent):
+    """Input/output in float; caller handles the int16 boundary (Q5)."""
+    if character_percent == 0:
+        return x_float
+    factor = character_percent / 100.0
+    drive = 1.0 + factor * 0.5
+    y = np.tanh(x_float * drive)
+    y = apply_shelf_filter(y, sample_rate, 120, factor * 1.0, "low")
+    y = apply_shelf_filter(y, sample_rate, 12000, factor * 1.5, "high")
+    return y
+
+
+# --- pydub compress_dynamic_range (N7) --------------------------------------
+
+def pydub_compress(x_int, sample_rate, threshold_db, ratio,
+                   attack_ms=5.0, release_ms=50.0):
+    """x_int: [N, C] int16-valued array. Sequential reference loop."""
+    n, c = x_int.shape
+    look = int(attack_ms * sample_rate / 1000.0)
+    attack_frames = attack_ms * sample_rate / 1000.0
+    release_frames = release_ms * sample_rate / 1000.0
+    thresh_rms = 32768.0 * 10.0 ** (threshold_db / 20.0)
+
+    sq = np.sum(x_int.astype(np.float64) ** 2, axis=1)
+    csum = np.concatenate([[0.0], np.cumsum(sq)])
+    out = np.empty_like(x_int)
+    att = 0.0
+    for i in range(n):
+        if i < look:
+            rms = 0.0  # pydub: negative slice start wraps -> empty -> rms 0
+        else:
+            rms = float(int(np.sqrt((csum[i] - csum[i - look])
+                                    / (look * c))))
+        if rms > 0:
+            db_over = max(20.0 * np.log10(rms / thresh_rms), 0.0)
+        else:
+            db_over = 0.0
+        max_att = (1.0 - 1.0 / ratio) * db_over
+        if rms > thresh_rms and att <= max_att:
+            att = min(att + max_att / attack_frames, max_att)
+        else:
+            att = max(att - max_att / release_frames, 0.0)
+        if att != 0.0:
+            frame = np.trunc(x_int[i] * 10.0 ** (-att / 20.0))
+            out[i] = np.clip(frame, -32768, 32767)
+        else:
+            out[i] = x_int[i]
+    return out
+
+
+def saturating_add(a, b):
+    return np.clip(a + b, -32768.0, 32767.0)
+
+
+def multiband_compress(x_float, sample_rate, settings,
+                       low_crossover=250.0, high_crossover=4000.0):
+    """engine:299-309: subtractive crossover (Q4), per-band int16 (Q5),
+    pydub compression, overlay saturating adds (Q7). In/out int16-valued."""
+    x = np.asarray(x_float, np.float64)
+    low_sos = butter(4, low_crossover, btype="lowpass", fs=sample_rate,
+                     output="sos")
+    high_sos = butter(4, high_crossover, btype="highpass", fs=sample_rate,
+                      output="sos")
+    low = sosfilt(low_sos, x, axis=0)
+    high = sosfilt(high_sos, x, axis=0)
+    mid = x - low - high
+    bands = []
+    for band, th, ra in [
+        (low, settings.get("low_thresh"), settings.get("low_ratio")),
+        (mid, settings.get("mid_thresh"), settings.get("mid_ratio")),
+        (high, settings.get("high_thresh"), settings.get("high_ratio")),
+    ]:
+        band_int = float_to_int16(band)
+        bands.append(pydub_compress(band_int, sample_rate, th, ra))
+    out = saturating_add(saturating_add(bands[0], bands[1]), bands[2])
+    return out
+
+
+# --- BS.1770 integrated loudness (oracle for N3) ----------------------------
+
+def integrated_lufs(x, sample_rate):
+    """Gated integrated loudness, float64, independent of the device impl
+    (shares only the published filter design)."""
+    from ame_tpu.dsp import design
+    sos = design.k_weighting_sos(sample_rate)
+    y = sosfilt(sos, np.asarray(x, np.float64), axis=0)
+    if y.ndim == 1:
+        y = y[:, None]
+    block = int(round(0.400 * sample_rate))
+    hop = int(round(0.100 * sample_rate))
+    n_blocks = (y.shape[0] - block) // hop + 1
+    if n_blocks < 1:
+        return -np.inf
+    power = []
+    for j in range(n_blocks):
+        seg = y[j * hop: j * hop + block]
+        power.append(np.sum(np.mean(seg ** 2, axis=0)))
+    power = np.array(power)
+    loud = -0.691 + 10 * np.log10(np.maximum(power, 1e-30))
+    abs_gate = loud > -70.0
+    if not np.any(abs_gate):
+        return -np.inf
+    rel_thresh = (-0.691 + 10 * np.log10(power[abs_gate].mean())) - 10.0
+    gate = abs_gate & (loud > rel_thresh)
+    if not np.any(gate):
+        return -np.inf
+    return -0.691 + 10 * np.log10(power[gate].mean())

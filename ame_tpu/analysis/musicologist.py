@@ -1,0 +1,130 @@
+"""The Musicologist: full technical brief for a song (reference C13,
+ai_tagger.py:56-103 — rebuilt on-device).
+
+Contract parity:
+  * analyzes the ORIGINAL input file, first 30 s, mono at 22 050 Hz
+    (quirk Q11; ai_tagger.py:66),
+  * mood via 128x128x3 normalized mel-spectrogram image -> CNN -> argmax ->
+    label class (ai_tagger.py:47-54, 69-73),
+  * tempo / spectral centroid / RMS features with identical bucket
+    thresholds (ai_tagger.py:87-89),
+  * returns {"mood", "tempo": "<n> BPM (<class>)", "brightness", "density"}
+    or {"error": str} — never raises (ai_tagger.py:92-103).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ame_tpu.analysis import features as F
+from ame_tpu.analysis import stft as S
+from ame_tpu.models import mood_cnn
+from ame_tpu.ops.resample import resample
+
+log = logging.getLogger("ame_tpu.analysis")
+
+ANALYSIS_SR = 22050
+ANALYSIS_SECONDS = 30.0
+
+
+def load_for_analysis(path: str):
+    """Decode -> mono mixdown -> 22 050 Hz -> first 30 s ([N] float32)."""
+    from ame_tpu.io import read_audio
+    audio, sr = read_audio(path)
+    mono = np.mean(audio, axis=1).astype(np.float32)
+    y = jnp.asarray(mono)
+    if sr != ANALYSIS_SR:
+        y = resample(y, sr, ANALYSIS_SR)
+    max_n = int(ANALYSIS_SECONDS * ANALYSIS_SR)
+    return y[:max_n]
+
+
+@jax.jit
+def spectrogram_image(y: jax.Array) -> jax.Array:
+    """Mel power -> dB (ref=max) -> min-max normalize -> 3-channel stack ->
+    bilinear resize to 128x128 (ai_tagger.py:47-54 semantics;
+    tf.image.resize -> jax.image.resize)."""
+    mel = S.melspectrogram(y, float(ANALYSIS_SR), 2048,
+                           mood_cnn.IMG_SIZE, 512)
+    db = S.power_to_db(mel)
+    lo = jnp.min(db)
+    hi = jnp.max(db)
+    norm = (db - lo) / jnp.maximum(hi - lo, 1e-6)
+    img = jnp.stack([norm] * 3, axis=-1)  # [mels, frames, 3]
+    return jax.image.resize(
+        img, (mood_cnn.IMG_SIZE, mood_cnn.IMG_SIZE, 3), method="bilinear")
+
+
+def analyze_waveform(y: jax.Array) -> dict:
+    """Brief from an already-conditioned [N] 22.05 kHz waveform."""
+    params, trained = mood_cnn.load_params()
+    img = spectrogram_image(y)
+    mood = mood_cnn.predict_mood(params, img)
+
+    tempo = float(F.tempo_bpm(y, float(ANALYSIS_SR)))
+    centroid = float(F.spectral_centroid_mean(y, float(ANALYSIS_SR)))
+    rms = float(F.rms_mean(y))
+    buckets = F.classify(tempo, centroid, rms)
+
+    brief = {
+        "mood": mood,
+        "tempo": f"{tempo:.0f} BPM ({buckets['tempo_class']})",
+        "brightness": buckets["brightness"],
+        "density": buckets["density"],
+    }
+    if not trained:
+        log.warning("mood CNN running with untrained (seed) weights — "
+                    "train via models/train_mood.py or set "
+                    "AME_TPU_MOOD_WEIGHTS")
+    log.info("technical brief: %s", brief)
+    return brief
+
+
+def analyze_song(audio_file_path: str) -> dict:
+    """File-level entry point; error-dict contract of ai_tagger.analyze_song."""
+    log.info("analyzing song: %s", audio_file_path)
+    try:
+        y = load_for_analysis(audio_file_path)
+        return analyze_waveform(y)
+    except Exception as e:
+        log.exception("song analysis failed")
+        return {"error": str(e)}
+
+
+def analyze_batch(paths: list[str]) -> list[dict]:
+    """Fleet-mode batched analysis: one device batch for the CNN over all
+    tracks (the batch-1 Keras predict of the reference generalized)."""
+    ys = []
+    briefs: list[dict | None] = []
+    for p in paths:
+        try:
+            ys.append(load_for_analysis(p))
+            briefs.append(None)
+        except Exception as e:
+            ys.append(None)
+            briefs.append({"error": str(e)})
+    # pad to a rectangular batch for the CNN
+    valid = [i for i, y in enumerate(ys) if y is not None]
+    if valid:
+        params, _ = mood_cnn.load_params()
+        imgs = jnp.stack([spectrogram_image(ys[i]) for i in valid])
+        logits = mood_cnn.predict_logits(params, imgs)
+        moods = [mood_cnn.MOOD_CLASSES[int(k)]
+                 for k in jnp.argmax(logits, axis=-1)]
+        for j, i in enumerate(valid):
+            y = ys[i]
+            tempo = float(F.tempo_bpm(y, float(ANALYSIS_SR)))
+            centroid = float(F.spectral_centroid_mean(y, float(ANALYSIS_SR)))
+            rms = float(F.rms_mean(y))
+            b = F.classify(tempo, centroid, rms)
+            briefs[i] = {
+                "mood": moods[j],
+                "tempo": f"{tempo:.0f} BPM ({b['tempo_class']})",
+                "brightness": b["brightness"],
+                "density": b["density"],
+            }
+    return briefs  # type: ignore[return-value]

@@ -1,0 +1,198 @@
+"""Public API — the reference-compatible entry points.
+
+``process_audio(settings, status_cb, progress_cb, art_cb, tag_cb)`` preserves
+the reference's only public orchestration symbol (audio_mastering_engine.py:
+94-137) including its observability contract (SURVEY.md §5.5):
+
+  * status strings carry the parsed severity prefixes ``Success:`` /
+    ``Error:`` / ``Failed:`` (quirk Q13 — the GUI keys off these),
+  * progress is reported as (step, total) with total = num_chunks + 4,
+    where num_chunks = ceil(duration / 30 s) — the reference's step count
+    (engine:184) kept as the progress *unit* even though nothing is
+    actually chunked on TPU,
+  * art / MP3 / analysis are best-effort sidecars; only the master path is
+    fatal (§5.3 error policy).
+
+``master_file`` is the typed, direct entry point for programmatic use.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+import traceback
+from typing import Any, Callable, Mapping
+
+import numpy as np
+
+from ame_tpu.config import MasterSettings, COMPAT_CHUNK_SECONDS
+
+log = logging.getLogger("ame_tpu")
+
+
+def _noop(*a, **k):
+    pass
+
+
+def _bucket_length(n: int) -> int:
+    """Next length on the {2^k, 1.5*2^k} grid (<= 33% padding): bounds the
+    number of distinct compiled programs to ~2 per octave of duration."""
+    if n <= 4096:
+        return 4096
+    p = 1 << ((n - 1).bit_length() - 1)  # largest power of two < n (or == n)
+    if n <= p:
+        return p
+    if n <= p + (p >> 1):
+        return p + (p >> 1)
+    return p << 1
+
+
+def master_file(input_file: str, output_file: str,
+                settings: MasterSettings | Mapping[str, Any] | None = None,
+                status_callback: Callable[[str], None] = _noop,
+                progress_callback: Callable[[int, int], None] = _noop) -> dict:
+    """Master one file: decode -> device graph -> encode.
+
+    Returns an info dict: sample_rate, n_samples, loudness stats (when
+    normalization ran), output path.
+    """
+    import jax.numpy as jnp
+    from ame_tpu.graph.chain import master_graph
+    from ame_tpu.io import read_audio, write_audio
+    from ame_tpu.ops import quantize
+
+    if settings is None:
+        settings = MasterSettings()
+    elif isinstance(settings, Mapping):
+        settings = MasterSettings.from_dict(settings)
+
+    status_callback("Loading audio into device memory...")
+    progress_callback(0, 100)
+    audio, sr = read_audio(input_file)
+
+    # engine:190-191 conditioning: force stereo; compat mode also forces the
+    # int16 grid (set_sample_width(2) semantics).
+    if audio.shape[1] == 1:
+        audio = np.repeat(audio, 2, axis=1)
+    elif audio.shape[1] > 2:
+        audio = audio[:, :2]
+    n = audio.shape[0]
+    num_chunks = max(int(math.ceil(n / (COMPAT_CHUNK_SECONDS * sr))), 1)
+    total_steps = num_chunks + 4
+
+    # Shape bucketing: pad to the next {2^k, 1.5*2^k} length so tracks of
+    # similar duration share one compiled program (every stage is causal and
+    # the loudness gate discards silent blocks, so trailing zeros are
+    # semantically free; output is trimmed back to n).
+    n_padded = _bucket_length(n)
+    if n_padded != n:
+        audio = np.concatenate(
+            [audio, np.zeros((n_padded - n, audio.shape[1]), audio.dtype)])
+
+    x = jnp.asarray(audio, jnp.float32)
+    if settings.mode == "compat":
+        x = quantize.int16_roundtrip(x)
+
+    status_callback("Running mastering graph on device...")
+    progress_callback(1, total_steps)
+    y, info = master_graph(x, sr, settings)
+    y.block_until_ready()
+    y = y[:n]
+    progress_callback(num_chunks + 3, total_steps)
+
+    status_callback("Exporting master...")
+    write_audio(output_file, np.asarray(y), sr, bits=16)
+    progress_callback(total_steps, total_steps)
+
+    out = {"output_file": output_file, "sample_rate": sr, "n_samples": n}
+    out.update({k: float(v) for k, v in info.items()})
+    return out
+
+
+def export_mp3_sidecar(wav_path: str,
+                       status_callback: Callable[[str], None]) -> None:
+    """Best-effort MP3 export beside the WAV (engine:140-150 contract:
+    failures are warnings, never fatal)."""
+    if not wav_path or not os.path.exists(wav_path):
+        log.warning("master WAV missing; skipping MP3")
+        status_callback("Warning: Could not find master WAV to create MP3.")
+        return
+    mp3_path = os.path.splitext(wav_path)[0] + ".mp3"
+    status_callback("Creating high-quality MP3...")
+    try:
+        from ame_tpu.io import read_audio
+        from ame_tpu.io.codecs import encode_mp3
+        audio, sr = read_audio(wav_path)
+        encode_mp3(mp3_path, audio, sr, vbr_quality=0)
+        status_callback("High-quality MP3 created successfully.")
+    except Exception:
+        log.exception("MP3 export failed")
+        status_callback("Error: Failed to create MP3 file.")
+
+
+def process_audio(settings: Mapping[str, Any],
+                  status_callback: Callable[[str], None],
+                  progress_callback: Callable[[int, int], None],
+                  art_callback: Callable[[str | None], None],
+                  tag_callback: Callable[[str], None]) -> None:
+    """Reference-parity orchestrator: master -> MP3 -> analysis -> prompt ->
+    art, with the layered degrade-and-continue error policy."""
+    try:
+        input_file = settings.get("input_file")
+        output_file = settings.get("output_file")
+        if not input_file or not output_file:
+            raise ValueError("Input or output file not specified.")
+
+        info = master_file(input_file, output_file, settings,
+                           status_callback, progress_callback)
+
+        if settings.get("create_mp3", False):
+            export_mp3_sidecar(info["output_file"], status_callback)
+
+        status_callback("Mastering complete. Preparing for AI analysis...")
+        auto_generate = settings.get("auto_generate_prompt", False)
+        manual_prompt = (settings.get("art_prompt") or "").strip()
+        final_art_prompt = None
+
+        if auto_generate:
+            status_callback("Analyzing audio with the Musicologist...")
+            from ame_tpu.analysis import musicologist
+            tech_brief = musicologist.analyze_song(input_file)
+            if "error" in tech_brief:
+                status_callback(
+                    f"Failed: Could not analyze audio. {tech_brief['error']}")
+                tag_callback(f"Analysis Error: {tech_brief['error']}")
+            else:
+                tag_callback(
+                    f"Mood: {tech_brief['mood']} | Tempo: {tech_brief['tempo']}"
+                    f" | Brightness: {tech_brief['brightness']}"
+                    f" | Density: {tech_brief['density']}")
+                status_callback("Building creative prompt from analysis...")
+                from ame_tpu.creative.prompts import generate_creative_prompt
+                final_art_prompt = generate_creative_prompt(tech_brief)
+        elif manual_prompt:
+            final_art_prompt = manual_prompt
+            tag_callback("Using manual prompt.")
+
+        from ame_tpu.creative import art as art_mod
+        if final_art_prompt and art_mod.available():
+            status_callback("Starting AI art generation...")
+            try:
+                art_path = art_mod.generate_cover_art(
+                    final_art_prompt, output_file)
+                status_callback("Success: AI art generation complete!")
+                art_callback(art_path)
+            except Exception:
+                log.exception("art generation failed")
+                status_callback("Failed: Mastering complete, but AI art failed.")
+                art_callback(None)
+        else:
+            status_callback("Success: Processing complete! (No art generated)")
+            art_callback(None)
+    except Exception as e:
+        log.error("fatal error in process_audio:\n%s", traceback.format_exc())
+        status_callback(f"Error: {e}")
+        progress_callback(0, 1)
+        art_callback(None)
+        tag_callback("Processing failed.")

@@ -1,0 +1,133 @@
+"""Command-line interface (the reference has none — SURVEY.md §5.6 — but a
+production framework needs a headless entry point; the GUI and serve layers
+reuse these code paths).
+
+    python -m ame_tpu master in.wav out.wav --lufs -14 --bass 2.5 ...
+    python -m ame_tpu analyze song.wav
+    python -m ame_tpu serve --port 8080
+    python -m ame_tpu gui
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+
+def _add_master_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--preset", choices=[], default=None, help="EQ preset")
+    p.add_argument("--analog-character", type=float, default=0.0)
+    p.add_argument("--bass", type=float, default=0.0, dest="bass_boost")
+    p.add_argument("--mid-cut", type=float, default=0.0, dest="mid_cut")
+    p.add_argument("--presence", type=float, default=0.0,
+                   dest="presence_boost")
+    p.add_argument("--treble", type=float, default=0.0, dest="treble_boost")
+    p.add_argument("--width", type=float, default=1.0)
+    p.add_argument("--lufs", type=float, default=-14.0)
+    p.add_argument("--no-lufs", action="store_true",
+                   help="skip loudness normalization")
+    p.add_argument("--multiband", action="store_true")
+    p.add_argument("--low-thresh", type=float, default=-25.0)
+    p.add_argument("--low-ratio", type=float, default=6.0)
+    p.add_argument("--mid-thresh", type=float, default=-20.0)
+    p.add_argument("--mid-ratio", type=float, default=3.0)
+    p.add_argument("--high-thresh", type=float, default=-15.0)
+    p.add_argument("--high-ratio", type=float, default=4.0)
+    p.add_argument("--mode", choices=["quality", "compat"],
+                   default="quality")
+    p.add_argument("--compat-chunked", action="store_true",
+                   help="emulate the reference's 30s chunk state resets")
+    p.add_argument("--mp3", action="store_true", help="also export MP3")
+
+
+def _settings_from_args(args) -> dict:
+    from ame_tpu.presets import EQ_PRESETS
+    s = {
+        "input_file": args.input,
+        "output_file": args.output,
+        "analog_character": args.analog_character,
+        "bass_boost": args.bass_boost,
+        "mid_cut": args.mid_cut,
+        "presence_boost": args.presence_boost,
+        "treble_boost": args.treble_boost,
+        "width": args.width,
+        "lufs": None if args.no_lufs else args.lufs,
+        "multiband": args.multiband,
+        "low_thresh": args.low_thresh, "low_ratio": args.low_ratio,
+        "mid_thresh": args.mid_thresh, "mid_ratio": args.mid_ratio,
+        "high_thresh": args.high_thresh, "high_ratio": args.high_ratio,
+        "mode": args.mode,
+        "compat_chunked": args.compat_chunked,
+        "create_mp3": args.mp3,
+    }
+    if args.preset:
+        s.update(EQ_PRESETS.get(args.preset, {}))
+    return s
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s - %(levelname)s - [%(funcName)s] - %(message)s")
+    parser = argparse.ArgumentParser(prog="ame_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    pm = sub.add_parser("master", help="master an audio file")
+    _add_master_args(pm)
+    from ame_tpu.presets import EQ_PRESETS
+    for a in pm._actions:  # populate preset choices late
+        if a.dest == "preset":
+            a.choices = list(EQ_PRESETS)
+
+    pa = sub.add_parser("analyze", help="Musicologist technical brief")
+    pa.add_argument("input")
+
+    ps = sub.add_parser("serve", help="HTTP mastering service")
+    ps.add_argument("--host", default="127.0.0.1")
+    ps.add_argument("--port", type=int, default=8080)
+    ps.add_argument("--workdir", default=None)
+
+    sub.add_parser("gui", help="desktop GUI")
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "master":
+        from ame_tpu.api import master_file, export_mp3_sidecar
+        settings = _settings_from_args(args)
+
+        def status(msg):
+            print(f"[status] {msg}", file=sys.stderr)
+
+        def progress(cur, total):
+            print(f"[progress] {cur}/{total}", file=sys.stderr)
+
+        info = master_file(args.input, args.output, settings, status, progress)
+        if settings["create_mp3"]:
+            export_mp3_sidecar(args.output, status)
+        print(json.dumps(info))
+        return 0
+
+    if args.cmd == "analyze":
+        from ame_tpu.analysis.musicologist import analyze_song
+        print(json.dumps(analyze_song(args.input)))
+        return 0
+
+    if args.cmd == "serve":
+        from ame_tpu.serve.server import run_server
+        run_server(host=args.host, port=args.port, workdir=args.workdir)
+        return 0
+
+    if args.cmd == "gui":
+        from ame_tpu.gui import run_gui
+        run_gui()
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,182 @@
+"""The mastering graph: the reference's stage order (audio_mastering_engine
+.py:185-223 — analog character -> EQ -> width -> multiband -> loudness
+normalize -> limiter) over the HBM-resident [N, 2] track, in two modes:
+
+* ``compat`` — reproduces the reference chain's behavioral quirks
+  (Appendix A of SURVEY.md): blend-EQ formulas (Q1-Q3), int16 re-quantization
+  at every stage boundary (Q5), subtractive crossover (Q4), saturating band
+  recombination (Q7), optional 30 s state resets (Q6 via ``compat_chunked``),
+  always-on limiter (Q8), silent-input normalize passthrough (Q9).
+  This mode chases the <0.1 dB LUFS-error parity target.
+
+* ``quality`` — the product chain: true RBJ shelving/peaking EQ,
+  Linkwitz-Riley crossovers, f32 end-to-end, continuous filter state,
+  true-peak-aware normalization.
+
+Compilation structure: the graph is a HOST-LEVEL sequence of independently
+jitted stages rather than one mega-jit. XLA compile time grows superlinearly
+with program size (measured: the fused whole-graph program compiles 10-30x
+slower than the sum of its stages), and stage-level programs are shared
+across graph variants — the EQ stage compiled once serves every structure.
+Stage boundaries cost ~10 device dispatches per master: negligible against
+ms-scale stage runtimes.
+
+Every gain/threshold/ratio/width/target is a traced argument — changing
+settings re-runs, never re-compiles.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ame_tpu import config as C
+from ame_tpu.ops import eq, quantize, saturate, stereo
+from ame_tpu.graph import multiband as mb
+from ame_tpu.ops.limiter import lookahead_limiter
+from ame_tpu.ops.loudness import normalize_two_pass
+
+
+def params_from_settings(s) -> dict:
+    """Dynamic (traced) parameters of the graph, as a flat dict of f32."""
+    return {
+        "analog": jnp.float32(s.analog_character),
+        "bass": jnp.float32(s.bass_boost),
+        "mid_cut": jnp.float32(s.mid_cut),
+        "presence": jnp.float32(s.presence_boost),
+        "treble": jnp.float32(s.treble_boost),
+        "width": jnp.float32(s.width),
+        "lufs": jnp.float32(s.lufs if s.lufs is not None else -14.0),
+        "threshs": jnp.asarray(
+            [s.low_thresh, s.mid_thresh, s.high_thresh], jnp.float32),
+        "ratios": jnp.asarray(
+            [s.low_ratio, s.mid_ratio, s.high_ratio], jnp.float32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Stage jits (compat)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _stage_analog_compat(x, analog, sample_rate, chunk_len):
+    y = saturate.analog_character_compat(x, sample_rate, analog, chunk_len)
+    return quantize.int16_roundtrip(y)
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7))
+def _stage_eq_width_compat(x, bass, mid_cut, presence, treble,
+                           sample_rate, chunk_len, width_on, width=None):
+    y = eq.apply_eq_compat(x, sample_rate, bass, mid_cut, presence, treble,
+                           chunk_len)
+    if width_on:
+        y = stereo.stereo_width(y, width)
+    return quantize.int16_roundtrip(y)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _stage_multiband_compat(x, threshs, ratios, sample_rate, exact,
+                            chunk_len):
+    return mb.multiband_compat(x, sample_rate, threshs, ratios,
+                               exact=exact, chunk_len=chunk_len)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _stage_normalize(x, target, sample_rate, requantize):
+    y, info = normalize_two_pass(x, sample_rate, target)
+    if requantize:
+        y = quantize.int16_roundtrip(y)  # ffmpeg pass-2 writes pcm_s16le
+    return y, info
+
+
+# ---------------------------------------------------------------------------
+# Stage jits (quality)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(6, 7, 8))
+def _stage_pre_quality(x, analog, bass, mid_cut, presence, treble,
+                       sample_rate, analog_on, width_on, width=None):
+    if analog_on:
+        x = saturate.analog_character_quality(x, sample_rate, analog)
+    x = eq.apply_eq_quality(x, sample_rate, bass, mid_cut, presence, treble)
+    if width_on:
+        x = stereo.stereo_width_quality(x, width)
+    return x
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _stage_multiband_quality(x, threshs, ratios, sample_rate):
+    return mb.multiband_quality(x, sample_rate, threshs, ratios)
+
+
+# ---------------------------------------------------------------------------
+# Graph driver
+# ---------------------------------------------------------------------------
+
+def _master_compat(x, sample_rate, p, *, analog_on, width_on, multiband_on,
+                   lufs_on, chunked, comp_exact=True):
+    chunk_len = int(C.COMPAT_CHUNK_SECONDS * sample_rate) if chunked else None
+    info = {}
+    if analog_on:  # engine:192
+        x = _stage_analog_compat(x, p["analog"], sample_rate, chunk_len)
+    # engine:194-196
+    x = _stage_eq_width_compat(x, p["bass"], p["mid_cut"], p["presence"],
+                               p["treble"], sample_rate, chunk_len,
+                               width_on, p["width"])
+    if multiband_on:  # engine:197
+        x = _stage_multiband_compat(x, p["threshs"], p["ratios"],
+                                    sample_rate, comp_exact, chunk_len)
+    if lufs_on:  # engine:216-220
+        x, loud_info = _stage_normalize(x, p["lufs"], sample_rate, True)
+        info.update(loud_info)
+    # engine:223 — alimiter, always (quirk Q8)
+    x = lookahead_limiter(x, sample_rate, C.LIMITER_CEILING,
+                          C.LIMITER_ATTACK_MS, C.LIMITER_RELEASE_MS)
+    return x, info
+
+
+def _master_quality(x, sample_rate, p, *, analog_on, width_on, multiband_on,
+                    lufs_on):
+    info = {}
+    x = _stage_pre_quality(x, p["analog"], p["bass"], p["mid_cut"],
+                           p["presence"], p["treble"], sample_rate,
+                           analog_on, width_on, p["width"])
+    if multiband_on:
+        x = _stage_multiband_quality(x, p["threshs"], p["ratios"],
+                                     sample_rate)
+    if lufs_on:
+        x, loud_info = _stage_normalize(x, p["lufs"], sample_rate, False)
+        info.update(loud_info)
+    x = lookahead_limiter(x, sample_rate, C.LIMITER_CEILING,
+                          C.LIMITER_ATTACK_MS, C.LIMITER_RELEASE_MS)
+    return x, info
+
+
+def master_graph(x: jax.Array, sample_rate: float, settings) -> tuple:
+    """Run the full mastering graph.
+
+    Args:
+      x: [N, 2] float32 in [-1, 1) (int16-grid values in compat mode, as
+         produced by the io layer's 16-bit decode — engine:190-191).
+      sample_rate: track sample rate.
+      settings: MasterSettings (or reference settings dict).
+
+    Returns:
+      (y, info): mastered [N, 2] float32 and measurement info dict
+      (traced scalars — loudness stats when normalization ran).
+    """
+    from ame_tpu.config import MasterSettings
+    if isinstance(settings, dict):
+        settings = MasterSettings.from_dict(settings)
+    p = params_from_settings(settings)
+    (mode, chunked, multiband_on, analog_on, width_on,
+     lufs_on) = settings.structure_key()
+    if mode == "compat":
+        return _master_compat(
+            x, float(sample_rate), p, analog_on=analog_on, width_on=width_on,
+            multiband_on=multiband_on, lufs_on=lufs_on, chunked=chunked)
+    return _master_quality(
+        x, float(sample_rate), p, analog_on=analog_on, width_on=width_on,
+        multiband_on=multiband_on, lufs_on=lufs_on)

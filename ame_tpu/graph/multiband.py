@@ -1,0 +1,89 @@
+"""3-band multiband compression stage.
+
+Compat path mirrors the reference wiring (audio_mastering_engine.py:299-309):
+subtractive crossover (mid = full - low - high, quirk Q4), per-band int16
+quantization (Q5), pydub-semantics compression, saturating ``overlay`` adds
+(Q7). Quality path uses Linkwitz-Riley flat-sum crossovers and the
+all-associative quality compressor.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ame_tpu import config as C
+from ame_tpu.dsp import design
+from ame_tpu.ops import compressor, quantize
+from ame_tpu.ops.scan_iir import sosfilt_scan, sosfilt_chunked
+
+
+def _crossover_compat(x, sample_rate, chunk_len=None):
+    low_sos = design.butter_sos(4, C.MB_LOW_CROSSOVER_HZ, "lowpass",
+                                fs=sample_rate)
+    high_sos = design.butter_sos(4, C.MB_HIGH_CROSSOVER_HZ, "highpass",
+                                 fs=sample_rate)
+    if chunk_len is None:
+        low, _ = sosfilt_scan(low_sos, x)
+        high, _ = sosfilt_scan(high_sos, x)
+    else:
+        low = sosfilt_chunked(low_sos, x, chunk_len)
+        high = sosfilt_chunked(high_sos, x, chunk_len)
+    mid = x - low - high  # quirk Q4: phase-imperfect subtractive crossover
+    return low, mid, high
+
+
+def _compress_band(band_float, sample_rate, thresh, ratio, exact, chunk_len):
+    """Quantize to int16 (Q5) then pydub-compress; returns int16-valued."""
+    band_int = quantize.float_to_int16(band_float)
+    fn = (compressor.pydub_compress_exact if exact
+          else compressor.pydub_compress_fast)
+    if chunk_len is None:
+        return fn(band_int, sample_rate, thresh, ratio)
+    n = band_int.shape[0]
+    nc = -(-n // chunk_len)
+    pad = nc * chunk_len - n
+    bi = jnp.pad(band_int, ((0, pad), (0, 0)))
+    bi = bi.reshape(nc, chunk_len, band_int.shape[1])
+    out = jax.vmap(lambda xb: fn(xb, sample_rate, thresh, ratio))(bi)
+    return out.reshape(nc * chunk_len, band_int.shape[1])[:n]
+
+
+def multiband_compat(x: jax.Array, sample_rate: float, threshs: jax.Array,
+                     ratios: jax.Array, exact: bool = False,
+                     chunk_len: int | None = None) -> jax.Array:
+    """x: [N, 2] float (int16-grid values, as the reference receives from an
+    AudioSegment). Returns float in int16 grid (value/32768)."""
+    low, mid, high = _crossover_compat(x, sample_rate, chunk_len)
+    outs = []
+    for i, band in enumerate((low, mid, high)):
+        outs.append(_compress_band(band, sample_rate, threshs[i], ratios[i],
+                                   exact, chunk_len))
+    acc = quantize.saturating_add_int16(outs[0], outs[1])
+    acc = quantize.saturating_add_int16(acc, outs[2])  # quirk Q7
+    return acc * (1.0 / 32768.0)
+
+
+def multiband_quality(x: jax.Array, sample_rate: float, threshs, ratios,
+                      attack_ms: float = 5.0,
+                      release_ms: float = 50.0) -> jax.Array:
+    """Linkwitz-Riley LR4 crossover (flat magnitude sum — fixes Q4), f32
+    throughout (fixes Q5/Q7), quality compressor per band."""
+    lo_sos = design.linkwitz_riley_sos(4, C.MB_LOW_CROSSOVER_HZ, "lowpass",
+                                       sample_rate)
+    lo_hp = design.linkwitz_riley_sos(4, C.MB_LOW_CROSSOVER_HZ, "highpass",
+                                      sample_rate)
+    hi_sos = design.linkwitz_riley_sos(4, C.MB_HIGH_CROSSOVER_HZ, "highpass",
+                                       sample_rate)
+    hi_lp = design.linkwitz_riley_sos(4, C.MB_HIGH_CROSSOVER_HZ, "lowpass",
+                                      sample_rate)
+    low, _ = sosfilt_scan(lo_sos, x)
+    rest, _ = sosfilt_scan(lo_hp, x)
+    high, _ = sosfilt_scan(hi_sos, rest)
+    mid, _ = sosfilt_scan(hi_lp, rest)
+    out = jnp.zeros_like(x)
+    for i, band in enumerate((low, mid, high)):
+        out = out + compressor.compress_quality(
+            band, sample_rate, threshs[i], ratios[i],
+            attack_ms=attack_ms, release_ms=release_ms)
+    return out

@@ -1,0 +1,51 @@
+"""Format dispatch: one entry point per direction, like the reference's
+"AudioSegment.from_file / export" surface but without subprocesses.
+
+Supported: WAV, AIFF (pure numpy), MP3 (native shim). FLAC decode lands via
+the native shim's next revision; until then a clear error is raised.
+Input conditioning reproduces engine:190-191: mono -> stereo duplication and
+16-bit-equivalent float semantics are applied by the pipeline, not here.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ame_tpu.io import wav as _wav
+from ame_tpu.io import codecs as _codecs
+from ame_tpu.io import flac as _flac
+
+
+def read_audio(path: str):
+    """Decode any supported file -> ([N, C] float32 in [-1, 1), rate)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".wav", ".wave"):
+        return _wav.read_wav(path)
+    if ext in (".aif", ".aiff", ".aifc"):
+        return _wav.read_aiff(path)
+    if ext == ".mp3":
+        return _codecs.decode_mp3(path)
+    if ext == ".flac":
+        return _flac.read_flac(path)
+    # fall back to sniffing WAV/AIFF magic
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"RIFF":
+        return _wav.read_wav(path)
+    if magic == b"FORM":
+        return _wav.read_aiff(path)
+    if magic[:3] == b"fLa" or magic == b"fLaC":
+        return _flac.read_flac(path)
+    raise ValueError(f"unsupported audio format: {path}")
+
+
+def write_audio(path: str, audio: np.ndarray, sample_rate: int,
+                bits: int = 16) -> None:
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".wav", ".wave"):
+        return _wav.write_wav(path, audio, sample_rate, bits)
+    if ext == ".mp3":
+        return _codecs.encode_mp3(path, audio, sample_rate, vbr_quality=0)
+    raise ValueError(f"unsupported output format: {path}")

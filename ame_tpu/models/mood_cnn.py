@@ -1,0 +1,130 @@
+"""Mood classification CNN (Flax) — replaces the reference's Keras
+``mood_cnn_augmented_model.keras`` (ai_tagger.py:19, 39; N8).
+
+The reference's trained weights are ABSENT from its snapshot
+(.MISSING_LARGE_BLOBS), so weight conversion is impossible by construction
+(SURVEY.md §7.4 item 7). The interface contract is preserved exactly:
+128x128x3 normalized mel-spectrogram image in, 4-way softmax over the
+label-encoder classes out. Weights load from a checkpoint when present
+(AME_TPU_MOOD_WEIGHTS or the package-local default); otherwise a
+deterministic seed-0 initialization keeps the pipeline functional, and
+``train_step`` / models/train_mood.py provide the retraining path.
+
+Class order matches the reference's sklearn LabelEncoder (alphabetical —
+decoded from mood_cnn_label_encoder.joblib, SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+from flax import serialization
+
+MOOD_CLASSES = ("Angry/Anxious", "Calm/Content", "Happy/Excited",
+                "Sad/Depressed")
+IMG_SIZE = 128
+
+_DEFAULT_WEIGHTS = os.path.join(os.path.dirname(__file__),
+                                "mood_cnn_weights.msgpack")
+
+
+class MoodCNN(nn.Module):
+    """Small conv net sized for a 128x128x3 spectrogram image.
+
+    Channel widths are multiples of 32 and the head is one big dense layer —
+    everything lands on the MXU in bf16-friendly shapes."""
+
+    num_classes: int = len(MOOD_CLASSES)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for feat in (32, 64, 128):
+            x = nn.Conv(feat, (3, 3), padding="SAME")(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = x.reshape((x.shape[0], -1))
+        x = nn.Dense(256)(x)
+        x = nn.relu(x)
+        if train:
+            x = nn.Dropout(0.3, deterministic=False)(x)
+        x = nn.Dense(self.num_classes)(x)
+        return x
+
+
+_params_cache = None
+
+
+def init_params(rng_seed: int = 0):
+    model = MoodCNN()
+    dummy = jnp.zeros((1, IMG_SIZE, IMG_SIZE, 3), jnp.float32)
+    return model.init(jax.random.PRNGKey(rng_seed), dummy)["params"]
+
+
+def load_params(path: str | None = None):
+    """Load weights; deterministic init when no checkpoint exists (the
+    reference returns (None, None) and errors out of analysis in that case —
+    we stay functional instead, flagging untrained via `trained`)."""
+    global _params_cache
+    if _params_cache is not None:
+        return _params_cache
+    path = path or os.environ.get("AME_TPU_MOOD_WEIGHTS", _DEFAULT_WEIGHTS)
+    params = init_params()
+    trained = False
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            params = serialization.from_bytes(params, f.read())
+        trained = True
+    _params_cache = (params, trained)
+    return _params_cache
+
+
+def save_params(params, path: str | None = None) -> str:
+    path = path or _DEFAULT_WEIGHTS
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+    return path
+
+
+@jax.jit
+def predict_logits(params, batch):
+    """batch: [B, 128, 128, 3] -> [B, 4] logits."""
+    return MoodCNN().apply({"params": params}, batch)
+
+
+def predict_mood(params, image) -> str:
+    """Single-image path parity with ai_tagger.py:70-73 (batch of 1,
+    argmax, inverse label transform)."""
+    logits = predict_logits(params, image[None])
+    return MOOD_CLASSES[int(jnp.argmax(logits[0]))]
+
+
+# ---------------------------------------------------------------------------
+# Training step (used by models/train_mood.py and the multichip dryrun)
+# ---------------------------------------------------------------------------
+
+def loss_fn(params, batch, labels, dropout_rng):
+    logits = MoodCNN().apply({"params": params}, batch, train=True,
+                             rngs={"dropout": dropout_rng})
+    one_hot = jax.nn.one_hot(labels, len(MOOD_CLASSES))
+    loss = -jnp.mean(jnp.sum(one_hot * jax.nn.log_softmax(logits), axis=-1))
+    acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+    return loss, acc
+
+
+def make_train_step(optimizer):
+    """Returns a jittable (params, opt_state, batch, labels, rng) step."""
+
+    def train_step(params, opt_state, batch, labels, rng):
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, labels, rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u, params, updates)
+        return params, opt_state, loss, acc
+
+    return train_step

@@ -11,11 +11,15 @@ Replaces pydub ``compress_dynamic_range`` + the reference's 3-band wiring
 
 2. ``pydub_compress_fast`` — same detector, with the gain recurrence
    recast as an associative scan over *clamped-accumulator* maps
-   f(g) = clip(g + d, lo, hi), which compose closed-form. This reproduces
-   pydub everywhere except one corner: when the instantaneous max-attenuation
-   drops below the current attenuation *while the detector is still above
-   threshold*, pydub walks down at the release rate, while the clamp snaps
-   immediately. Bounded-error approximation, verified in tests.
+   f(g) = clip(g + d, lo, hi), which compose closed-form. Approximation:
+   when max-attenuation dips below the current attenuation while the
+   detector is still above threshold, pydub walks down at the release rate
+   but the clamp snaps immediately — and because pydub FREEZES attenuation
+   once the signal falls below threshold, a snap near the last
+   above-threshold sample persists into the tail. Measured on program
+   material: mean error ~0.05 dB, worst-case tail offset a few dB
+   (tests/test_compressor.py). Compat mode therefore defaults to the exact
+   path; the fast path is for throughput-first use.
 
 3. ``compress_quality`` — the product-grade compressor: windowed-RMS level
    in dB, threshold/ratio gain computer, smooth decoupled peak detector
@@ -43,6 +47,7 @@ tests/oracles.py encodes the same spec):
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -157,9 +162,36 @@ def _pydub_gain_fast(above, max_att, attack_frames, release_frames):
     d = jnp.where(above, inc, -dec)
     lo = jnp.zeros_like(max_att)
     hi = jnp.where(above, max_att, jnp.inf)
-    dd, llo, hhi = jax.lax.associative_scan(_clip_combine, (d, lo, hi), axis=0)
-    # apply composed map to initial attenuation 0
-    return jnp.clip(dd, llo, hhi)
+
+    # blocked Kogge-Stone over the clip-map semigroup (identity = (0,-inf,inf))
+    n = d.shape[0]
+    L = 1 << min(16, max(n - 1, 1).bit_length())
+    nb = -(-n // L)
+
+    def blk(x, fill):
+        xp = jnp.pad(x, (0, nb * L - n), constant_values=fill)
+        return xp.reshape(nb, L)
+
+    D, Lo, Hi = blk(d, 0.0), blk(lo, -jnp.inf), blk(hi, jnp.inf)
+
+    def shift(x, k, fill):
+        return jnp.pad(x[:, :L - k], ((0, 0), (k, 0)), constant_values=fill)
+
+    s = 1
+    while s < L:
+        e1 = (shift(D, s, 0.0), shift(Lo, s, -jnp.inf), shift(Hi, s, jnp.inf))
+        D, Lo, Hi = _clip_combine(e1, (D, Lo, Hi))
+        s *= 2
+
+    # carry: attenuation value at each block start (g_{-1} = 0)
+    def step(g, efs):
+        db, lob, hib = efs
+        return jnp.clip(g + db, lob, hib), g
+
+    _, Gpre = jax.lax.scan(step, jnp.float32(0.0),
+                           (D[:, -1], Lo[:, -1], Hi[:, -1]))
+    att = jnp.clip(Gpre[:, None] + D, Lo, Hi)
+    return att.reshape(nb * L)[:n]
 
 
 def pydub_compress_fast(x_int: jax.Array, sample_rate: float, threshold_db,
@@ -196,9 +228,9 @@ def _compress_quality_jit(args, static):
     gr_db = over * (1.0 - 1.0 / ratio)  # desired gain reduction, >= 0
 
     # smooth decoupled: release as (×,max) scan, then attack one-pole
-    rel_decay = jnp.exp(-1.0 / (release_ms * sample_rate / 1000.0))
+    rel_decay = math.exp(-1.0 / (release_ms * sample_rate / 1000.0))
     gr_rel = W.release_scan(gr_db, rel_decay)
-    a = float(jnp.exp(-1.0 / (attack_ms * sample_rate / 1000.0)))
+    a = math.exp(-1.0 / (attack_ms * sample_rate / 1000.0))
     coeffs = jnp.array([1.0 - a, 0.0, 0.0, 1.0, -a, 0.0], x.dtype)
     gr_smooth, _ = biquad_scan(gr_rel, coeffs)
 

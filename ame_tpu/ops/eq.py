@@ -64,8 +64,12 @@ def apply_shelf_compat(x: jax.Array, sample_rate: float, cutoff_hz: float,
                        gain_db: jax.Array, filter_type: str,
                        chunk_len: int | None = None) -> jax.Array:
     """Reference apply_shelf_filter (engine:283-289): order-2 Butterworth
-    LP/HP core + compat blend."""
-    b, a = design.butter_ba(2, cutoff_hz / (0.5 * sample_rate), filter_type)
+    LP/HP core + compat blend. The normalized cutoff is clamped below
+    Nyquist (the reference would crash in scipy at sample rates where a
+    shelf frequency reaches Nyquist; the fixed-graph design must stay
+    constructible even when that band's gain is 0)."""
+    cutoff_norm = min(cutoff_hz / (0.5 * sample_rate), 0.999999)
+    b, a = design.butter_ba(2, cutoff_norm, filter_type)
     sos = design.ba_to_sos_biquad(b, a)
     return shelf_blend_compat(x, _run_sos(sos, x, chunk_len), gain_db)
 

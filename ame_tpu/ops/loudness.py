@@ -1,0 +1,218 @@
+"""EBU R128 / ITU-R BS.1770 loudness measurement + normalization on device.
+
+Replaces ffmpeg ``loudnorm`` (SURVEY.md N3; reference call sites
+audio_mastering_engine.py:229-241):
+  * K-weighted, gated integrated loudness (400 ms blocks, 75 % overlap,
+    -70 LUFS absolute gate, -10 LU relative gate)
+  * loudness range LRA (3 s short-term blocks, -20 LU relative gate,
+    10th..95th percentiles)
+  * 4x-oversampled true peak (polyphase FIR, BS.1770 Annex 2 style)
+  * two-pass linear normalization: measure, then one clean gain
+    (the reference's pass-2 path with measured_* values; its 'dynamic'
+    fallback is replaced by gain + true-peak-aware limiting, SURVEY.md §7.4)
+
+Implementation notes (all O(N), bandwidth-bound, MXU for the true-peak FIR):
+  * K-filter: 2 biquads via the scan-IIR engine.
+  * block energies: non-overlapping 100 ms hop sums (exact, via reshape)
+    then each 400 ms block = sum of 4 adjacent hop sums — no long-cumsum
+    cancellation.
+  * gating is a masked mean — pure elementwise + reductions.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ame_tpu.dsp import design
+from ame_tpu.ops.scan_iir import sosfilt_scan
+
+
+# ---------------------------------------------------------------------------
+# Block energies
+# ---------------------------------------------------------------------------
+
+def _gating_block_powers(y: jax.Array, sample_rate: float,
+                         block_s: float, hop_s: float) -> jax.Array:
+    """Mean-square power per gating block (sum over channels of per-channel
+    mean square — BS.1770 channel weights are 1.0 for L/R).
+
+    y: [N, C] K-weighted audio. Returns [n_blocks] powers.
+    """
+    n = y.shape[0]
+    hop = int(round(hop_s * sample_rate))
+    steps = int(round(block_s / hop_s))  # sub-hops per block (4 or 30)
+    n_hops = n // hop
+    if n_hops < steps:
+        return jnp.zeros((0,), y.dtype)
+    sq = jnp.sum(y * y, axis=1)  # [N]
+    hop_sums = jnp.sum(sq[: n_hops * hop].reshape(n_hops, hop), axis=1)
+    # block j covers hops [j, j+steps)
+    n_blocks = n_hops - steps + 1
+    csum = jnp.concatenate([jnp.zeros((1,), y.dtype), jnp.cumsum(hop_sums)])
+    block_sums = csum[steps:steps + n_blocks] - csum[:n_blocks]
+    return block_sums / (hop * steps)
+
+
+def _power_to_lufs(p):
+    return -0.691 + 10.0 * jnp.log10(jnp.maximum(p, 1e-30))
+
+
+# ---------------------------------------------------------------------------
+# Integrated loudness + LRA (single fused measurement)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(1,))
+def _measure_jit(x, sample_rate):
+    sos = jnp.asarray(design.k_weighting_sos(sample_rate), x.dtype)
+    y, _ = sosfilt_scan(sos, x)
+
+    # integrated: 400 ms / 100 ms hop
+    p_m = _gating_block_powers(y, sample_rate, 0.400, 0.100)
+    l_m = _power_to_lufs(p_m)
+    abs_mask = l_m > -70.0
+    any_abs = jnp.any(abs_mask)
+    mean_abs = jnp.sum(jnp.where(abs_mask, p_m, 0.0)) / jnp.maximum(
+        jnp.sum(abs_mask), 1)
+    rel_thresh = _power_to_lufs(mean_abs) - 10.0
+    gate = abs_mask & (l_m > rel_thresh)
+    any_gate = jnp.any(gate)
+    mean_gated = jnp.sum(jnp.where(gate, p_m, 0.0)) / jnp.maximum(
+        jnp.sum(gate), 1)
+    integrated = jnp.where(any_abs & any_gate,
+                           _power_to_lufs(mean_gated),
+                           -jnp.inf)
+
+    # LRA: 3 s short-term, 100 ms hop, -20 LU relative gate, P10..P95
+    p_s = _gating_block_powers(y, sample_rate, 3.000, 0.100)
+    if p_s.shape[0] == 0:
+        lra = jnp.asarray(0.0, x.dtype)
+    else:
+        l_s = _power_to_lufs(p_s)
+        abs_s = l_s > -70.0
+        mean_s = jnp.sum(jnp.where(abs_s, p_s, 0.0)) / jnp.maximum(
+            jnp.sum(abs_s), 1)
+        rel_s = _power_to_lufs(mean_s) - 20.0
+        gate_s = abs_s & (l_s > rel_s)
+        n_g = jnp.sum(gate_s)
+        # gated percentiles via sort + masked indexing
+        l_sorted = jnp.sort(jnp.where(gate_s, l_s, jnp.inf))
+        i10 = jnp.clip((0.10 * (n_g - 1)).astype(jnp.int32), 0, None)
+        i95 = jnp.clip((0.95 * (n_g - 1)).astype(jnp.int32), 0, None)
+        lo = l_sorted[i10]
+        hi = l_sorted[i95]
+        lra = jnp.where(n_g > 0, hi - lo, 0.0)
+
+    return integrated, lra
+
+
+# ---------------------------------------------------------------------------
+# True peak (4x polyphase oversampling)
+# ---------------------------------------------------------------------------
+
+_TP_FACTOR = 4
+_TP_TAPS_PER_PHASE = 12  # 48-tap prototype
+
+
+def _tp_filterbank() -> np.ndarray:
+    """[factor, taps] polyphase interpolation bank: windowed-sinc lowpass at
+    the original Nyquist, Kaiser beta 5, gain preserved per phase."""
+    factor, tpp = _TP_FACTOR, _TP_TAPS_PER_PHASE
+    taps = factor * tpp
+    nidx = np.arange(taps) - (taps - 1) / 2.0
+    h = np.sinc(nidx / factor) * np.kaiser(taps, 5.0)
+    h = h / np.sum(h) * factor
+    return h.reshape(tpp, factor).T.copy()  # [factor, tpp]
+
+
+@jax.jit
+def _true_peak_jit(x, bank):
+    """x: [N, C]; bank: [factor, tpp]. Max |value| over the 4x-upsampled
+    signal, via one depthwise convolution (lowered to the MXU)."""
+    n, c = x.shape
+    factor, tpp = bank.shape
+    lhs = x.T[None]  # [1, C, N]
+    # depthwise: each input channel produces `factor` phase outputs
+    rhs = jnp.tile(bank[:, None, :], (c, 1, 1))  # [C*factor, 1, tpp]
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs,
+        window_strides=(1,),
+        padding=[(tpp - 1, 0)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=c,
+        preferred_element_type=x.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.maximum(jnp.max(jnp.abs(out)), jnp.max(jnp.abs(x)))
+
+
+_bank_np = None
+
+
+def true_peak(x: jax.Array) -> jax.Array:
+    """Linear-scale true peak of [N, C] audio (BS.1770 4x oversampling)."""
+    global _bank_np
+    if _bank_np is None:
+        _bank_np = _tp_filterbank()
+    # numpy is cached; the device constant is created per call so a traced
+    # value is never captured across jit traces
+    return _true_peak_jit(x, jnp.asarray(_bank_np, x.dtype))
+
+
+def true_peak_db(x: jax.Array) -> jax.Array:
+    return 20.0 * jnp.log10(jnp.maximum(true_peak(x), 1e-12))
+
+
+# ---------------------------------------------------------------------------
+# Public measurement API
+# ---------------------------------------------------------------------------
+
+def integrated_lufs(x: jax.Array, sample_rate: float) -> jax.Array:
+    """Gated integrated loudness of [N, C] (or [N]) audio, in LUFS."""
+    if x.ndim == 1:
+        x = x[:, None]
+    return _measure_jit(x, float(sample_rate))[0]
+
+
+def measure(x: jax.Array, sample_rate: float) -> dict:
+    """Full pass-1 measurement (the on-device analog of the reference's
+    loudnorm print_format=json scrape, engine:229-237)."""
+    if x.ndim == 1:
+        x = x[:, None]
+    integrated, lra = _measure_jit(x, float(sample_rate))
+    tp = true_peak_db(x)
+    return {"input_i": integrated, "input_lra": lra, "input_tp": tp}
+
+
+# ---------------------------------------------------------------------------
+# Two-pass normalization
+# ---------------------------------------------------------------------------
+
+def normalize_two_pass(x: jax.Array, sample_rate: float,
+                       target_lufs: float = -14.0,
+                       target_tp_db: float = -1.5,
+                       protect_tp: bool = False):
+    """Measure, then apply one linear gain to reach ``target_lufs``.
+
+    Mirrors the reference path (engine:227-246): silent input (measured
+    -inf) passes through unchanged (quirk Q9). With ``protect_tp`` the gain
+    is capped so the 4x true peak stays under ``target_tp_db`` (the
+    reference chain instead relies on its always-on 0.98 limiter, Q8).
+
+    Returns (y, info dict of traced scalars).
+    """
+    if x.ndim == 1:
+        x = x[:, None]
+    stats = measure(x, sample_rate)
+    gain_db = jnp.asarray(target_lufs, x.dtype) - stats["input_i"]
+    if protect_tp:
+        headroom = jnp.asarray(target_tp_db, x.dtype) - stats["input_tp"]
+        gain_db = jnp.minimum(gain_db, headroom)
+    silent = ~jnp.isfinite(stats["input_i"])
+    gain_db = jnp.where(silent, 0.0, gain_db)
+    y = x * 10.0 ** (gain_db / 20.0)
+    return y, {**stats, "gain_db": gain_db,
+               "output_i": stats["input_i"] + gain_db}

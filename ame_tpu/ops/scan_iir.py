@@ -8,34 +8,29 @@ parallel scan of O(log N) depth — pure VPU element-wise sweeps, no
 sequential sample loop, no 30 s chunk state resets (quirk Q6 becomes an
 *option*, not a limitation).
 
-Formulation (transposed direct form II, biquad):
+Two key structural choices, both driven by compile time and HBM traffic:
 
-    y[n]  = b0*x[n] + s1[n-1]
-    s1[n] = b1*x[n] - a1*y[n] + s2[n-1]
-    s2[n] = b2*x[n] - a2*y[n]
+1. **Whole cascades fuse into one scan.** A k-section SOS cascade is a
+   single linear state-space system with a 2k-dim state and a block-lower-
+   triangular transition matrix 𝔸 (built from the per-section TDF-II
+   forms at trace time). One scan of a [2k]-state costs the same *op count*
+   as one biquad — so an order-8 bandpass compiles like a biquad instead of
+   4x a biquad.
 
-Substituting y gives the affine state recurrence  s[n] = A s[n-1] + B x[n]:
+2. **Kogge-Stone with constant level matrices.** Because 𝔸 is constant in
+   time, level l of the scan is
+        S <- S + 𝔸^(2^l) · shift(S, 2^l)
+   with 𝔸^(2^l) a [D, D] *scalar* matrix (einsum per level; ~4 XLA ops per
+   level). The scan is blocked (L = 2^16 within-block, vectorized across
+   all blocks; a tiny lax.scan carries block boundary states; an in-graph
+   𝔸^k table applies the carry), so graph size is INDEPENDENT of N.
 
-    A = [[-a1, 1],      B = [b1 - a1*b0,
-         [-a2, 0]]           b2 - a2*b0]
+Per-section state convention matches ``scipy.signal.sosfilt``'s ``zi``
+exactly; coefficients/zi are traced arguments, so one compile per input
+shape serves every filter in the mastering graph.
 
-Because A is CONSTANT along time, the scan specializes to Kogge-Stone with a
-*scalar* 2x2 matrix A^(2^l) per level:
-
-    S <- S + A^(2^l) · shift(S, 2^l)
-
-so only the 2-vector state S is carried (2 arrays, not the 6 a generic
-affine scan needs), and each level is 4 multiplies + 4 adds + 2 shifts.
-The scan is blocked: within-block Kogge-Stone over L = 2^16 samples
-(vectorized over all blocks at once), a tiny ``lax.scan`` over the ~N/L
-block carries, then an A^k-table correction — graph size is INDEPENDENT of
-N (compile time stays flat from 1 s clips to hour-long programs).
-
-The state convention matches ``scipy.signal.lfilter``'s ``zi`` exactly, so
-chunk handoff and scipy differential tests are direct.
-
-Stability: audio filters have |poles| < 1, so scanned products decay and f32
-rounding errors are themselves filtered — accuracy vs the float64 scipy
+Stability: audio filters have |poles| < 1, so scanned products decay and
+f32 rounding errors are themselves filtered — accuracy vs the float64 scipy
 oracle is ~1e-4..1e-5 relative (tests/test_scan_iir.py).
 """
 
@@ -47,19 +42,25 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# This environment (and TPU generally) lowers f32 matmuls at reduced
+# (bf16-class) precision by default. The scan's level matrices compound
+# multiplicatively, so every contraction here must be exact f32.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_HI)
+
+
+def _ein(spec, *ops):
+    return jnp.einsum(spec, *ops, precision=_HI)
+
 
 _MAX_BLOCK = 1 << 16
 
 
 def _pow2ceil(n: int) -> int:
     return 1 << (max(n - 1, 0)).bit_length() if n > 1 else 1
-
-
-def _mat_sq(m):
-    """Square a 2x2 matrix given as a 4-tuple of scalars."""
-    m11, m12, m21, m22 = m
-    return (m11 * m11 + m12 * m21, m11 * m12 + m12 * m22,
-            m21 * m11 + m22 * m21, m21 * m12 + m22 * m22)
 
 
 def _shift_right(x, k, axis):
@@ -71,106 +72,208 @@ def _shift_right(x, k, axis):
     return jnp.pad(x[tuple(sl)], pad)
 
 
-@partial(jax.jit, static_argnums=(3,))
-def _biquad_ks(x, coeffs, zi, L):
-    """Blocked Kogge-Stone biquad. x: [N, *tr]; L: power-of-two block."""
+def _cascade_state_space(sos: jax.Array, dt):
+    """Compose k TDF-II sections into (𝔸 [D,D], 𝔹 [D], Crow [D], d) with
+    D = 2k. Section i (coeffs b0,b1,b2,1,a1,a2):
+
+        y_i   = b0*u_i + s1_i
+        s1_i' = (b1 - a1*b0)*u_i - a1*s1_i + s2_i
+        s2_i' = (b2 - a2*b0)*u_i - a2*s1_i
+
+    with u_{i+1} = y_i, u_1 = x. The global input-to-u_i sensitivity is
+    tracked as (scalar g_i = du_i/dx, row r_i = du_i/ds)."""
+    k = sos.shape[0]
+    D = 2 * k
+    zero = jnp.zeros((), dt)
+    one = jnp.ones((), dt)
+
+    A_rows = [[zero] * D for _ in range(D)]
+    B_col = [zero] * D
+    g = one                      # du_i/dx
+    r = [zero] * D               # du_i/ds
+    for i in range(k):
+        b0, b1, b2 = sos[i, 0], sos[i, 1], sos[i, 2]
+        a1, a2 = sos[i, 4], sos[i, 5]
+        i1, i2 = 2 * i, 2 * i + 1
+        c1 = b1 - a1 * b0
+        c2 = b2 - a2 * b0
+        # s1_i' = c1*u_i - a1*s1_i + s2_i
+        for j in range(D):
+            A_rows[i1][j] = c1 * r[j]
+        A_rows[i1][i1] = A_rows[i1][i1] - a1
+        A_rows[i1][i2] = A_rows[i1][i2] + one
+        B_col[i1] = c1 * g
+        # s2_i' = c2*u_i - a2*s1_i
+        for j in range(D):
+            A_rows[i2][j] = c2 * r[j]
+        A_rows[i2][i1] = A_rows[i2][i1] - a2
+        B_col[i2] = c2 * g
+        # u_{i+1} = y_i = b0*u_i + s1_i
+        r = [b0 * r[j] for j in range(D)]
+        r[i1] = r[i1] + one
+        g = b0 * g
+    A = jnp.stack([jnp.stack(row) for row in A_rows])
+    B = jnp.stack(B_col)
+    Crow = jnp.stack(r)   # dy/ds  (y = y_k)
+    dpass = g             # dy/dx
+    return A, B, Crow, dpass
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _cascade_ks(x, sos, L, k):
+    """Blocked Kogge-Stone cascade scan. x: [N, *tr]; sos: [k, 6] traced."""
     dt = x.dtype
     N = x.shape[0]
     tr = x.shape[1:]
+    D = 2 * k
     NB = -(-N // L)
     xp = jnp.pad(x, [(0, NB * L - N)] + [(0, 0)] * (x.ndim - 1))
     xb = xp.reshape((NB, L) + tr)
 
-    b0, b1, b2 = coeffs[0], coeffs[1], coeffs[2]
-    a1, a2 = coeffs[4], coeffs[5]
-    one = jnp.asarray(1.0, dt)
-    zero = jnp.asarray(0.0, dt)
+    A, B, Crow, dpass = _cascade_state_space(sos, dt)
 
-    # -- within-block inclusive scan: S[b,k] = sum_{j<=k} A^(k-j) v[b,j] ----
-    S1 = (b1 - a1 * b0) * xb
-    S2 = (b2 - a2 * b0) * xb
-    M = (-a1, one, -a2, zero)  # A, as traced scalars
+    # -- within-block inclusive scan of v[n] = B*x[n] -----------------------
+    S = B.reshape((D, 1, 1) + (1,) * len(tr)) * xb[None]   # [D, NB, L, *tr]
+    Al = A
     shift = 1
     while shift < L:
-        s1s = _shift_right(S1, shift, axis=1)
-        s2s = _shift_right(S2, shift, axis=1)
-        m11, m12, m21, m22 = M
-        S1 = S1 + (m11 * s1s + m12 * s2s)
-        S2 = S2 + (m21 * s1s + m22 * s2s)
-        M = _mat_sq(M)  # A^(2·2^l)
+        Ss = _shift_right(S, shift, axis=2)
+        S = S + _ein("jm,m...->j...", Al, Ss)
+        Al = _mm(Al, Al)
         shift *= 2
-    AL = M  # A^L
+    AL = Al  # 𝔸^L
 
-    # -- carry across blocks: c[b] = state BEFORE block b ------------------
-    if zi is None:
-        c0_1 = jnp.zeros(tr, dt)
-        c0_2 = jnp.zeros(tr, dt)
-    else:
-        c0_1 = jnp.broadcast_to(zi[..., 0], tr).astype(dt)
-        c0_2 = jnp.broadcast_to(zi[..., 1], tr).astype(dt)
-    e1 = S1[:, -1]
-    e2 = S2[:, -1]
-    al11, al12, al21, al22 = AL
+    # -- carry across blocks: c[b] = state BEFORE block b -------------------
+    e = S[:, :, -1]  # [D, NB, *tr]
+    e = jnp.moveaxis(e, 1, 0)  # [NB, D, *tr]
 
-    def step(c, e):
-        c1, c2 = c
-        eb1, eb2 = e
-        n1 = al11 * c1 + al12 * c2 + eb1
-        n2 = al21 * c1 + al22 * c2 + eb2
-        return (n1, n2), (c1, c2)
+    def step(c, eb):
+        nxt = _ein("jm,m...->j...", AL, c) + eb
+        return nxt, c
 
-    (cf1, cf2), (C1, C2) = jax.lax.scan(step, (c0_1, c0_2), (e1, e2))
+    c0 = jnp.zeros((D,) + tr, dt)
+    _, C = jax.lax.scan(step, c0, e)  # C: [NB, D, *tr] state before block b
 
-    # -- A^k table, k = 0..L-1 (cumulative matmul Kogge-Stone) -------------
-    karange = jnp.arange(L)
-    is0 = (karange == 0)
-    t11 = jnp.where(is0, one, -a1).astype(dt)
-    t12 = jnp.where(is0, zero, one).astype(dt)
-    t21 = jnp.where(is0, zero, -a2).astype(dt)
-    t22 = jnp.where(is0, one, zero).astype(dt)
+    # -- 𝔸^k table, k = 0..L-1 ---------------------------------------------
+    eye = jnp.eye(D, dtype=dt)
+    T = jnp.where((jnp.arange(L) == 0)[:, None, None], eye[None], A[None])
     shift = 1
     while shift < L:
-        # T[k] <- T[k] @ T[k-shift] (identity padding)
-        p11 = _shift_right(t11 - one, shift, 0) + one
-        p12 = _shift_right(t12, shift, 0)
-        p21 = _shift_right(t21, shift, 0)
-        p22 = _shift_right(t22 - one, shift, 0) + one
-        n11 = t11 * p11 + t12 * p21
-        n12 = t11 * p12 + t12 * p22
-        n21 = t21 * p11 + t22 * p21
-        n22 = t21 * p12 + t22 * p22
-        t11, t12, t21, t22 = n11, n12, n21, n22
+        # T[k] <- T[k] @ T[k-shift], identity padding
+        Ts = jnp.concatenate(
+            [jnp.broadcast_to(eye[None], (shift, D, D)), T[:L - shift]],
+            axis=0)
+        T = _ein("lij,ljk->lik", T, Ts)
         shift *= 2
 
-    # -- corrected states ---------------------------------------------------
-    bshape = (NB, 1) + (1,) * len(tr)
-    kshape = (1, L) + (1,) * len(tr)
-    C1e = C1.reshape((NB, 1) + tr)
-    C2e = C2.reshape((NB, 1) + tr)
-    # state BEFORE sample (b,k) = A^k c[b] + S[b,k-1] (S part shifted by one)
-    T11 = t11.reshape(kshape)
-    T12 = t12.reshape(kshape)
-    S1s = _shift_right(S1, 1, axis=1)
-    s1_before = T11 * C1e + T12 * C2e + S1s
-    y = (b0 * xb + s1_before).reshape((NB * L,) + tr)[:N]
+    # -- states BEFORE each sample ------------------------------------------
+    # s_before[b,k] = 𝔸^k c[b] + shift1(S)[b,k]
+    Ss1 = _shift_right(S, 1, axis=2)  # [D, NB, L, *tr]
+    corr = _ein("ljm,bm...->jbl...", T, C)  # [D, NB, L, *tr]
+    s_before = corr + Ss1
 
-    # -- final state (after sample N-1) -------------------------------------
+    y = dpass * xb + _ein("j,jbl...->bl...", Crow, s_before)
+    y = y.reshape((NB * L,) + tr)[:N]
+
+    # -- final state (after sample N-1): 𝔸 @ s_before[N-1] + v[N-1] ---------
     bi = (N - 1) // L
     ki = (N - 1) % L
-    # A^(ki+1) = A @ A^ki
-    u11 = t11[ki]
-    u12 = t12[ki]
-    u21 = t21[ki]
-    u22 = t22[ki]
-    w11 = -a1 * u11 + u21
-    w12 = -a1 * u12 + u22
-    w21 = -a2 * u11
-    w22 = -a2 * u12
-    cb1 = C1[bi]
-    cb2 = C2[bi]
-    zf1 = w11 * cb1 + w12 * cb2 + S1[bi, ki]
-    zf2 = w21 * cb1 + w22 * cb2 + S2[bi, ki]
-    zf = jnp.stack([zf1, zf2], axis=-1)
+    sb_last = s_before[:, bi, ki]  # [D, *tr]
+    v_last = B.reshape((D,) + (1,) * len(tr)) * xb[bi, ki]
+    s_after_last = _ein("jm,m...->j...", A, sb_last) + v_last
+    # [D, *tr] -> [k, *tr, 2] (scipy sosfilt zi layout)
+    zf = jnp.moveaxis(s_after_last.reshape((k, 2) + tr), 1, -1)
+    return y, zf
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _cascade_ks_zi(x, sos, zi, L, k):
+    """As _cascade_ks but honoring an initial state zi [k, *tr, 2].
+
+    Implemented by injecting the zi contribution into the first block's
+    carry: rerun of the carry scan with c0 = zi (cheap — the expensive
+    within-block scan is shared logic, so just inline the same body)."""
+    dt = x.dtype
+    N = x.shape[0]
+    tr = x.shape[1:]
+    D = 2 * k
+    NB = -(-N // L)
+    xp = jnp.pad(x, [(0, NB * L - N)] + [(0, 0)] * (x.ndim - 1))
+    xb = xp.reshape((NB, L) + tr)
+
+    A, B, Crow, dpass = _cascade_state_space(sos, dt)
+    S = B.reshape((D, 1, 1) + (1,) * len(tr)) * xb[None]
+    Al = A
+    shift = 1
+    while shift < L:
+        Ss = _shift_right(S, shift, axis=2)
+        S = S + _ein("jm,m...->j...", Al, Ss)
+        Al = _mm(Al, Al)
+        shift *= 2
+    AL = Al
+
+    e = jnp.moveaxis(S[:, :, -1], 1, 0)
+
+    def step(c, eb):
+        nxt = _ein("jm,m...->j...", AL, c) + eb
+        return nxt, c
+
+    c0 = jnp.moveaxis(zi.astype(dt), -1, 1).reshape((D,) + tr)
+    _, C = jax.lax.scan(step, c0, e)
+
+    eye = jnp.eye(D, dtype=dt)
+    T = jnp.where((jnp.arange(L) == 0)[:, None, None], eye[None], A[None])
+    shift = 1
+    while shift < L:
+        Ts = jnp.concatenate(
+            [jnp.broadcast_to(eye[None], (shift, D, D)), T[:L - shift]],
+            axis=0)
+        T = _ein("lij,ljk->lik", T, Ts)
+        shift *= 2
+
+    Ss1 = _shift_right(S, 1, axis=2)
+    corr = _ein("ljm,bm...->jbl...", T, C)
+    s_before = corr + Ss1
+    y = dpass * xb + _ein("j,jbl...->bl...", Crow, s_before)
+    y = y.reshape((NB * L,) + tr)[:N]
+
+    bi = (N - 1) // L
+    ki = (N - 1) % L
+    sb_last = s_before[:, bi, ki]
+    v_last = B.reshape((D,) + (1,) * len(tr)) * xb[bi, ki]
+    s_after_last = _ein("jm,m...->j...", A, sb_last) + v_last
+    zf = jnp.moveaxis(s_after_last.reshape((k, 2) + tr), 1, -1)
+    return y, zf
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+def sosfilt_scan(sos, x: jax.Array, zi: jax.Array | None = None,
+                 axis: int = 0):
+    """Cascade of biquads (scipy ``sosfilt`` semantics, zero default state),
+    fused into ONE scan regardless of section count.
+
+    Args:
+      sos: [n_sections, 6] (numpy or jax array; a0 normalized to 1).
+      x: input; time along ``axis``.
+      zi: [n_sections, ..., 2] per-section initial states, or None.
+
+    Returns:
+      (y, zf) with zf: [n_sections, ..., 2].
+    """
+    sos = jnp.asarray(sos, x.dtype)
+    k = sos.shape[0]
+    if axis != 0:
+        x = jnp.moveaxis(x, axis, 0)
+    L = min(_MAX_BLOCK, _pow2ceil(x.shape[0]))
+    if zi is None:
+        y, zf = _cascade_ks(x, sos, L, int(k))
+    else:
+        y, zf = _cascade_ks_zi(x, sos, jnp.asarray(zi, x.dtype), L, int(k))
+    if axis != 0:
+        y = jnp.moveaxis(y, 0, axis)
     return y, zf
 
 
@@ -178,50 +281,12 @@ def biquad_scan(x: jax.Array, coeffs: jax.Array, zi: jax.Array | None = None,
                 axis: int = 0):
     """Filter ``x`` along ``axis`` with one biquad.
 
-    Args:
-      x: input, any shape; time runs along ``axis``.
-      coeffs: [6] array (b0, b1, b2, a0, a1, a2); a0 must be 1.
-      zi: initial state, shape = x.shape with ``axis`` removed then (2,)
-          appended; scipy ``lfilter`` zi convention. None = zero state.
-
-    Returns:
-      (y, zf): filtered output (same shape as x) and final state (zi-shaped).
-
-    Coefficients and zi are traced arguments: ONE compile per input shape
-    serves every biquad in the mastering graph.
-    """
-    coeffs = jnp.asarray(coeffs, x.dtype)
-    if zi is not None:
-        zi = jnp.asarray(zi, x.dtype)
-    if axis != 0:
-        x = jnp.moveaxis(x, axis, 0)
-    L = min(_MAX_BLOCK, _pow2ceil(x.shape[0]))
-    y, zf = _biquad_ks(x, coeffs, zi, L)
-    if axis != 0:
-        y = jnp.moveaxis(y, 0, axis)
-    return y, zf
-
-
-def sosfilt_scan(sos, x: jax.Array, zi: jax.Array | None = None,
-                 axis: int = 0):
-    """Cascade of biquads (scipy ``sosfilt`` semantics, zero default state).
-
-    Args:
-      sos: [n_sections, 6] (numpy or jax array; a0 normalized to 1).
-      x: input; time along ``axis``.
-      zi: [n_sections, ...] per-section initial states, or None.
-
-    Returns:
-      (y, zf) with zf: [n_sections, ..., 2].
-    """
-    sos = jnp.asarray(sos, x.dtype)
-    n_sections = sos.shape[0]
-    y = x
-    zfs = []
-    for s in range(n_sections):
-        y, zf = biquad_scan(y, sos[s], None if zi is None else zi[s], axis=axis)
-        zfs.append(zf)
-    return y, jnp.stack(zfs, axis=0)
+    coeffs: [6] (b0, b1, b2, a0, a1, a2), a0 == 1. zi: scipy lfilter
+    convention, shape = batch shape + (2,). Returns (y, zf)."""
+    sos = jnp.asarray(coeffs, x.dtype)[None, :]
+    zi_s = None if zi is None else jnp.asarray(zi, x.dtype)[None]
+    y, zf = sosfilt_scan(sos, x, zi_s, axis=axis)
+    return y, zf[0]
 
 
 def lfilter_scan(b, a, x: jax.Array, axis: int = 0) -> jax.Array:

@@ -96,17 +96,49 @@ def windowed_sum_exclusive(x: jax.Array, w: int) -> jax.Array:
     return jnp.where(full.reshape((-1,) + (1,) * (x.ndim - 1)), shifted, 0.0)
 
 
+def _shift_right_fill(x, k, axis, fill):
+    sl = [slice(None)] * x.ndim
+    sl[axis] = slice(0, x.shape[axis] - k)
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (k, 0)
+    return jnp.pad(x[tuple(sl)], pad, constant_values=fill)
+
+
 @jax.jit
 def release_scan(u: jax.Array, decay: float | jax.Array) -> jax.Array:
-    """y[n] = max(u[n], decay * y[n-1]) — exponential-release envelope as an
-    associative scan in the (multiply, max) semiring."""
+    """y[n] = max(u[n], decay * y[n-1]) — exponential-release envelope in the
+    (multiply, max) semiring, as a blocked Kogge-Stone scan with constant
+    per-level decay factors (graph size independent of N; y[-1] = 0)."""
     decay = jnp.asarray(decay, u.dtype)
-    a = jnp.full_like(u, decay)
+    n = u.shape[0]
+    L = 1 << min(16, max(n - 1, 1).bit_length())
+    nb = -(-n // L)
+    up = jnp.pad(u, [(0, nb * L - n)] + [(0, 0)] * (u.ndim - 1),
+                 constant_values=0.0)
+    ub = up.reshape((nb, L) + u.shape[1:])
 
-    def combine(e1, e2):
-        a1, b1 = e1
-        a2, b2 = e2
-        return a1 * a2, jnp.maximum(b2, a2 * b1)
+    Y = ub
+    dl = decay
+    shift = 1
+    while shift < L:
+        Ys = _shift_right_fill(Y, shift, 1, 0.0)
+        Y = jnp.maximum(Y, dl * Ys)
+        dl = dl * dl
+        shift *= 2
+    dL = dl  # decay^L
 
-    _, y = jax.lax.associative_scan(combine, (a, u), axis=0)
-    return y
+    e = Y[:, -1]  # zero-state end-of-block values
+
+    def step(c, eb):
+        return jnp.maximum(eb, dL * c), c
+
+    c0 = jnp.zeros(u.shape[1:], u.dtype)
+    _, Cpre = jax.lax.scan(step, c0, e)  # value at block start
+
+    k = jnp.arange(1, L + 1, dtype=u.dtype)
+    powers = jnp.exp(k * jnp.log(jnp.maximum(decay, 1e-30)))
+    bshape = (nb, L) + (1,) * (u.ndim - 1)
+    corr = powers.reshape((1, L) + (1,) * (u.ndim - 1)) * \
+        Cpre.reshape((nb, 1) + u.shape[1:])
+    y = jnp.maximum(Y, corr)
+    return y.reshape((nb * L,) + u.shape[1:])[:n]

@@ -1,0 +1,94 @@
+"""Musicologist tests: feature behavior + brief contract (ai_tagger parity)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from ame_tpu.analysis import features as F
+from ame_tpu.analysis import musicologist as M
+from ame_tpu.analysis import stft as S
+from ame_tpu.io import wav as W
+from tests.conftest import make_test_signal
+
+ASR = 22050
+
+
+def _click_track(bpm, seconds=10, sr=ASR):
+    n = int(seconds * sr)
+    y = np.zeros(n, np.float32)
+    period = int(60 / bpm * sr)
+    for i in range(0, n, period):
+        y[i:i + 80] += np.hanning(80).astype(np.float32) * 0.9
+    return y
+
+
+@pytest.mark.parametrize("bpm", [90, 128])
+def test_tempo_estimation(bpm):
+    y = _click_track(bpm)
+    got = float(F.tempo_bpm(jnp.asarray(y), float(ASR)))
+    # accept octave-exact matches within 3 BPM
+    candidates = [bpm / 2, bpm, bpm * 2]
+    assert min(abs(got - c) for c in candidates) < 3.0, got
+
+
+def test_centroid_orders_bright_vs_dark():
+    t = np.arange(ASR * 2) / ASR
+    dark = np.sin(2 * np.pi * 200 * t).astype(np.float32)
+    bright = np.sin(2 * np.pi * 6000 * t).astype(np.float32)
+    c_dark = float(F.spectral_centroid_mean(jnp.asarray(dark), float(ASR)))
+    c_bright = float(F.spectral_centroid_mean(jnp.asarray(bright), float(ASR)))
+    assert c_dark < 1000 < 2000 < c_bright
+
+
+def test_rms_scaling():
+    y = make_test_signal("noise", ASR, ASR, channels=1)
+    r1 = float(F.rms_mean(jnp.asarray(y)))
+    r2 = float(F.rms_mean(jnp.asarray(y * 2)))
+    assert abs(r2 / r1 - 2.0) < 0.01
+
+
+def test_bucket_thresholds_exact():
+    """The reference's exact thresholds (ai_tagger.py:87-89)."""
+    assert F.classify(121, 0, 0)["tempo_class"] == "fast"
+    assert F.classify(120, 0, 0)["tempo_class"] == "moderate"
+    assert F.classify(90, 0, 0)["tempo_class"] == "slow"
+    assert F.classify(0, 2001, 0)["brightness"] == "bright"
+    assert F.classify(0, 2000, 0)["brightness"] == "warm"
+    assert F.classify(0, 1000, 0)["brightness"] == "dark"
+    assert F.classify(0, 0, 0.11)["density"] == "dense"
+    assert F.classify(0, 0, 0.09)["density"] == "moderate"
+    assert F.classify(0, 0, 0.04)["density"] == "sparse"
+
+
+def test_spectrogram_image_shape_and_range():
+    y = make_test_signal("sweep", ASR * 3, ASR, channels=1)
+    img = np.asarray(M.spectrogram_image(jnp.asarray(y)))
+    assert img.shape == (128, 128, 3)
+    assert img.min() >= 0.0 and img.max() <= 1.0
+    assert (img[..., 0] == img[..., 1]).all()
+
+
+def test_analyze_song_brief_contract(tmp_path):
+    x = make_test_signal("noise", 44100 * 3, 44100) * 0.2
+    p = str(tmp_path / "song.wav")
+    W.write_wav(p, x, 44100)
+    brief = M.analyze_song(p)
+    assert set(brief) == {"mood", "tempo", "brightness", "density"}
+    assert brief["mood"] in ("Angry/Anxious", "Calm/Content",
+                             "Happy/Excited", "Sad/Depressed")
+    assert "BPM (" in brief["tempo"]
+    assert brief["brightness"] in ("bright", "warm", "dark")
+    assert brief["density"] in ("dense", "moderate", "sparse")
+
+
+def test_analyze_song_error_contract(tmp_path):
+    brief = M.analyze_song(str(tmp_path / "missing.wav"))
+    assert "error" in brief
+
+
+def test_mel_filterbank_properties():
+    fb = S.mel_filterbank(22050, 2048, 128)
+    assert fb.shape == (128, 1025)
+    assert (fb >= 0).all()
+    # every filter has support; slaney normalization keeps areas ~equal
+    assert (fb.sum(axis=1) > 0).all()

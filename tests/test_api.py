@@ -1,0 +1,105 @@
+"""Public API contract tests: process_audio orchestration, status-prefix
+conventions (Q13), degrade-and-continue error policy (SURVEY.md §5.3)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import ame_tpu
+from ame_tpu.io import wav as W
+from tests.conftest import make_test_signal
+
+SR = 44100
+
+
+@pytest.fixture
+def track(tmp_path):
+    x = make_test_signal("noise", SR * 2, SR) * 0.2
+    p = str(tmp_path / "in.wav")
+    W.write_wav(p, x, SR)
+    return p
+
+
+class CallbackLog:
+    def __init__(self):
+        self.status = []
+        self.progress = []
+        self.art = []
+        self.tags = []
+
+    def cb(self):
+        return (self.status.append,
+                lambda c, t: self.progress.append((c, t)),
+                self.art.append, self.tags.append)
+
+
+def test_master_file_end_to_end(track, tmp_path):
+    out = str(tmp_path / "out.wav")
+    info = ame_tpu.master_file(track, out, {"bass_boost": 2.0,
+                                            "lufs": -14.0})
+    assert os.path.exists(out)
+    assert info["sample_rate"] == SR
+    assert abs(info["output_i"] - (-14.0)) < 0.5
+    y, sr = W.read_wav(out)
+    assert sr == SR and y.shape[1] == 2
+    assert np.abs(y).max() <= 0.9801
+
+
+def test_process_audio_success_contract(track, tmp_path):
+    log = CallbackLog()
+    settings = {"input_file": track,
+                "output_file": str(tmp_path / "m.wav"),
+                "bass_boost": 1.0, "create_mp3": True}
+    ame_tpu.process_audio(settings, *log.cb())
+    assert any("Success:" in s for s in log.status)
+    assert not any("Error:" in s for s in log.status)
+    # progress must end at (total, total)
+    cur, total = log.progress[-1]
+    assert cur == total
+    # art callback fired with None (no provider in this env)
+    assert log.art == [None]
+    assert os.path.exists(str(tmp_path / "m.wav"))
+    # MP3 sidecar (native LAME available in this image)
+    assert os.path.exists(str(tmp_path / "m.mp3"))
+
+
+def test_process_audio_error_contract(tmp_path):
+    """Missing input: Error: status, progress reset (0, 1), art None,
+    'Processing failed.' tag (engine:131-137)."""
+    log = CallbackLog()
+    settings = {"input_file": str(tmp_path / "nope.wav"),
+                "output_file": str(tmp_path / "m.wav")}
+    ame_tpu.process_audio(settings, *log.cb())
+    assert any(s.startswith("Error:") for s in log.status)
+    assert log.progress[-1] == (0, 1)
+    assert log.art == [None]
+    assert log.tags[-1] == "Processing failed."
+
+
+def test_process_audio_missing_paths():
+    log = CallbackLog()
+    ame_tpu.process_audio({}, *log.cb())
+    assert any(s.startswith("Error:") for s in log.status)
+
+
+def test_silent_input_passthrough(tmp_path):
+    """Quirk Q9: silent track -> normalize skipped, master still written."""
+    x = np.zeros((SR, 2), np.float32)
+    p_in = str(tmp_path / "sil.wav")
+    p_out = str(tmp_path / "sil_m.wav")
+    W.write_wav(p_in, x, SR)
+    info = ame_tpu.master_file(p_in, p_out, {"lufs": -14.0})
+    y, _ = W.read_wav(p_out)
+    assert np.abs(y).max() == 0.0
+    assert os.path.exists(p_out)
+
+
+def test_mono_input_forced_stereo(tmp_path):
+    x = make_test_signal("tone", SR, SR, channels=1)
+    p_in = str(tmp_path / "mono.wav")
+    p_out = str(tmp_path / "mono_m.wav")
+    W.write_wav(p_in, x, SR)
+    ame_tpu.master_file(p_in, p_out, {"lufs": None})
+    y, _ = W.read_wav(p_out)
+    assert y.shape[1] == 2

@@ -1,0 +1,109 @@
+"""Compressor differential tests vs the pydub-semantics oracle."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from ame_tpu.ops import compressor, quantize
+from tests import oracles
+from tests.conftest import make_test_signal
+
+SR = 44100
+
+
+def _program(n=SR, seed=0):
+    """Noise with a loud middle section — exercises attack, sustain,
+    release, and the below-threshold freeze."""
+    x = make_test_signal("noise", n, SR, seed=seed) * 0.05
+    x[n // 3: 2 * n // 3] *= 12.0
+    return np.clip(x, -1, 1)
+
+
+@pytest.mark.parametrize("thresh,ratio", [(-20.0, 4.0), (-25.0, 6.0)])
+def test_exact_matches_oracle(thresh, ratio):
+    x = _program()
+    x_int = oracles.float_to_int16(x).astype(np.float32)
+    want = oracles.pydub_compress(x_int.astype(np.float64), SR, thresh, ratio)
+    got = np.asarray(compressor.pydub_compress_exact(
+        jnp.asarray(x_int), SR, thresh, ratio))
+    # integer-domain outputs; f32 rms rounding can flip a floor by 1 ->
+    # allow tiny deviations on a handful of samples
+    diff = np.abs(got - want)
+    assert np.median(diff) == 0.0
+    assert diff.max() <= 64, diff.max()          # < 0.002 full scale
+    assert (diff > 2).mean() < 0.02              # overwhelmingly exact
+
+
+def test_fast_close_to_exact():
+    x = _program()
+    x_int = quantize.float_to_int16(jnp.asarray(x))
+    exact = np.asarray(compressor.pydub_compress_exact(
+        x_int, SR, -20.0, 4.0))
+    fast = np.asarray(compressor.pydub_compress_fast(
+        x_int, SR, -20.0, 4.0))
+    # the clamp-snap approximation: bounded by the largest max-att dip; the
+    # pydub freeze quirk can pin that offset into the tail (documented in
+    # ops/compressor.py — compat mode therefore defaults to exact)
+    err_db = 20 * np.log10(
+        (np.abs(fast) + 1) / (np.abs(exact) + 1))
+    assert np.abs(err_db).max() < 4.5
+    assert np.abs(err_db).mean() < 2.0
+    # during the attack/sustain (before the freeze), agreement is tight
+    pre = slice(0, SR // 2)
+    assert np.abs(err_db[pre]).mean() < 0.1
+
+
+def test_fast_equals_exact_without_dips():
+    """With a steady carrier (constant detector rms -> max_att never dips
+    below attenuation) the fast path is exact-tight."""
+    n = SR // 2
+    t = np.arange(n) / SR
+    tone = 0.04 * np.sin(2 * np.pi * 300.0 * t)
+    x = np.stack([tone, tone], axis=1).astype(np.float32)
+    x[n // 2:] *= 12.0
+    x = np.clip(x, -1, 1)
+    x_int = quantize.float_to_int16(jnp.asarray(x))
+    exact = np.asarray(compressor.pydub_compress_exact(x_int, SR, -20.0, 4.0))
+    fast = np.asarray(compressor.pydub_compress_fast(x_int, SR, -20.0, 4.0))
+    err_db = 20 * np.log10((np.abs(fast) + 1) / (np.abs(exact) + 1))
+    assert np.abs(err_db).max() < 0.6, np.abs(err_db).max()
+
+
+def test_below_threshold_passthrough():
+    x = make_test_signal("noise", SR // 2, SR) * 0.01  # ~-40 dBFS
+    x_int = quantize.float_to_int16(jnp.asarray(x))
+    got = np.asarray(compressor.pydub_compress_exact(
+        x_int, SR, -20.0, 4.0))
+    np.testing.assert_array_equal(got, np.asarray(x_int))
+
+
+def test_quality_compressor_reduces_dynamics():
+    x = _program()
+    y = np.asarray(compressor.compress_quality(
+        jnp.asarray(x), SR, threshold_db=-20.0, ratio=4.0))
+    loud_in = np.sqrt(np.mean(x[SR // 3: 2 * SR // 3] ** 2))
+    loud_out = np.sqrt(np.mean(y[SR // 3: 2 * SR // 3] ** 2))
+    quiet_in = np.sqrt(np.mean(x[: SR // 4] ** 2))
+    quiet_out = np.sqrt(np.mean(y[: SR // 4] ** 2))
+    assert loud_out < loud_in * 0.7          # loud section compressed
+    assert quiet_out > quiet_in * 0.95       # quiet section ~untouched
+    assert np.isfinite(y).all()
+
+
+def test_multiband_oracle_vs_device():
+    """Full reference multiband path (Q4/Q5/Q7) vs the device composition."""
+    from ame_tpu.graph import multiband as mb
+    x = _program(SR // 2)
+    xq = oracles.int16_roundtrip(x)
+    settings = {"low_thresh": -25.0, "low_ratio": 6.0,
+                "mid_thresh": -20.0, "mid_ratio": 3.0,
+                "high_thresh": -15.0, "high_ratio": 4.0}
+    want = oracles.multiband_compress(xq, SR, settings)  # int16-valued
+    got = np.asarray(mb.multiband_compat(
+        jnp.asarray(xq.astype(np.float32)), SR,
+        jnp.asarray([-25.0, -20.0, -15.0]), jnp.asarray([6.0, 3.0, 4.0]),
+        exact=True))
+    diff = np.abs(got * 32768.0 - want)  # compare in int16 domain
+    assert np.median(diff) <= 1.0
+    assert diff.max() <= 96, diff.max()
+    assert (diff > 4).mean() < 0.05

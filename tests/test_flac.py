@@ -1,0 +1,164 @@
+"""FLAC decoder tests against hand-crafted bitstreams (no FLAC encoder
+exists in this image, so the tests build spec-conformant streams directly —
+constant, verbatim, and Rice-coded fixed-order subframes)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from ame_tpu.io import codecs
+
+
+class BitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def w(self, value, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def sw(self, value, n):
+        self.w(value & ((1 << n) - 1), n)
+
+    def unary(self, q):
+        self.bits.extend([0] * q + [1])
+
+    def align(self):
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def bytes(self):
+        self.align()
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for bit in self.bits[i:i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+def _streaminfo(rate, channels, bps, total):
+    bw = BitWriter()
+    bw.w(4096, 16)  # min block
+    bw.w(4096, 16)  # max block
+    bw.w(0, 24)
+    bw.w(0, 24)
+    bw.w(rate, 20)
+    bw.w(channels - 1, 3)
+    bw.w(bps - 1, 5)
+    bw.w(total, 36)
+    for _ in range(16):
+        bw.w(0, 8)
+    return bw.bytes()
+
+
+def _frame_header(bw, blocksize_code, ch_asgn, frame_no):
+    bw.w(0x3FFE, 14)
+    bw.w(0, 1)  # reserved
+    bw.w(0, 1)  # fixed blocksize strategy
+    bw.w(blocksize_code, 4)
+    bw.w(0, 4)   # rate: from STREAMINFO
+    bw.w(ch_asgn, 4)
+    bw.w(4, 3)   # 16-bit
+    bw.w(0, 1)
+    assert frame_no < 0x80
+    bw.w(frame_no, 8)  # UTF-8 single byte
+    bw.w(0, 8)  # CRC-8 (decoder skips validation)
+
+
+def _flac_file(frames_bits, rate=44100, channels=2, bps=16, total=0):
+    si = _streaminfo(rate, channels, bps, total)
+    out = b"fLaC"
+    out += bytes([0x80]) + struct.pack(">I", len(si))[1:] + si  # last block
+    for fb in frames_bits:
+        out += fb
+    return out
+
+
+def _rice_encode(bw, residuals, param):
+    for r in residuals:
+        u = (r << 1) if r >= 0 else ((-r << 1) - 1)
+        bw.unary(u >> param)
+        bw.w(u & ((1 << param) - 1), param)
+
+
+@pytest.mark.parametrize("kind", ["constant", "verbatim", "fixed"])
+def test_flac_subframe_kinds(tmp_path, kind):
+    n = 192  # blocksize code 1
+    rng = np.random.default_rng(0)
+    if kind == "constant":
+        want = np.full((n, 2), 1234, np.int64)
+        want[:, 1] = -77
+    elif kind == "verbatim":
+        want = rng.integers(-30000, 30000, (n, 2)).astype(np.int64)
+    else:  # fixed order 0: residual IS the signal (rice param 10)
+        want = rng.integers(-400, 400, (n, 2)).astype(np.int64)
+
+    bw = BitWriter()
+    _frame_header(bw, 1, 1, 0)  # blocksize 192, 2ch independent
+    for c in range(2):
+        bw.w(0, 1)
+        if kind == "constant":
+            bw.w(0, 6)
+            bw.w(0, 1)
+            bw.sw(int(want[0, c]), 16)
+        elif kind == "verbatim":
+            bw.w(1, 6)
+            bw.w(0, 1)
+            for v in want[:, c]:
+                bw.sw(int(v), 16)
+        else:
+            bw.w(8, 6)  # FIXED order 0
+            bw.w(0, 1)
+            bw.w(0, 2)  # rice method 0
+            bw.w(0, 4)  # partition order 0
+            bw.w(10, 4)  # rice param
+            _rice_encode(bw, [int(v) for v in want[:, c]], 10)
+    bw.align()
+    bw.w(0, 16)  # frame CRC-16 (skipped)
+
+    blob = _flac_file([bw.bytes()], total=n)
+    p = tmp_path / "t.flac"
+    p.write_bytes(blob)
+
+    from ame_tpu.io.flac import read_flac
+    y, sr = read_flac(str(p))
+    assert sr == 44100
+    assert y.shape == (n, 2)
+    np.testing.assert_allclose(y, want.astype(np.float32) / 32768.0,
+                               atol=1e-7)
+
+
+def test_flac_mid_side_and_fixed2(tmp_path):
+    """Mid/side stereo decorrelation + FIXED order-2 predictor."""
+    n = 192
+    t = np.arange(n)
+    left = np.round(8000 * np.sin(2 * np.pi * 5 * t / n)).astype(np.int64)
+    right = np.round(6000 * np.sin(2 * np.pi * 3 * t / n + 0.5)).astype(np.int64)
+    mid = (left + right) >> 1
+    side = left - right
+    bw = BitWriter()
+    _frame_header(bw, 1, 10, 0)  # mid/side
+    for vals, bits in ((mid, 16), (side, 17)):
+        bw.w(0, 1)
+        bw.w(10, 6)  # FIXED order 2
+        bw.w(0, 1)
+        bw.sw(int(vals[0]), bits)
+        bw.sw(int(vals[1]), bits)
+        resid = [int(vals[i] - (2 * vals[i - 1] - vals[i - 2]))
+                 for i in range(2, n)]
+        bw.w(0, 2)
+        bw.w(0, 4)
+        bw.w(8, 4)
+        _rice_encode(bw, resid, 8)
+    bw.align()
+    bw.w(0, 16)
+    blob = _flac_file([bw.bytes()], total=n)
+    p = tmp_path / "ms.flac"
+    p.write_bytes(blob)
+    from ame_tpu.io.flac import read_flac
+    y, sr = read_flac(str(p))
+    np.testing.assert_allclose(y[:, 0], left / 32768.0, atol=1e-7)
+    np.testing.assert_allclose(y[:, 1], right / 32768.0, atol=1e-7)

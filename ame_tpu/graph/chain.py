@@ -154,6 +154,31 @@ def _master_quality(x, sample_rate, p, *, analog_on, width_on, multiband_on,
     return x, info
 
 
+@partial(jax.jit, static_argnums=(2, 3))
+def _master_fused_jit(x, p, sample_rate, structure):
+    (mode, chunked, multiband_on, analog_on, width_on, lufs_on) = structure
+    if mode == "compat":
+        return _master_compat(
+            x, sample_rate, p, analog_on=analog_on, width_on=width_on,
+            multiband_on=multiband_on, lufs_on=lufs_on, chunked=chunked)
+    return _master_quality(
+        x, sample_rate, p, analog_on=analog_on, width_on=width_on,
+        multiband_on=multiband_on, lufs_on=lufs_on)
+
+
+def master_graph_fused(x: jax.Array, sample_rate: float, settings) -> tuple:
+    """One-program variant of ``master_graph``: the whole chain in a single
+    XLA executable. Minimum dispatch count (1) — right for serving/bench
+    loops where per-dispatch latency matters; compile cost is higher than
+    the staged path and is NOT shared across graph variants."""
+    from ame_tpu.config import MasterSettings
+    if isinstance(settings, dict):
+        settings = MasterSettings.from_dict(settings)
+    p = params_from_settings(settings)
+    return _master_fused_jit(x, p, float(sample_rate),
+                             settings.structure_key())
+
+
 def master_graph(x: jax.Array, sample_rate: float, settings) -> tuple:
     """Run the full mastering graph.
 

@@ -161,20 +161,20 @@ def apply_eq_quality(x: jax.Array, sample_rate: float, bass_db, mid_cut_db,
                      presence_db, treble_db, peak_q: float = 1.41) -> jax.Array:
     """Product-grade 4-band EQ: true RBJ low shelf 250 Hz, peaking 1 kHz
     (cut), peaking 4 kHz, high shelf 8 kHz. Gains are traced scalars — the
-    coefficients are computed in-graph, so one compile serves all settings."""
+    coefficients are computed in-graph, so one compile serves all settings.
+    The four biquads run as ONE fused cascade scan."""
     from ame_tpu import config as C
-    from ame_tpu.ops.scan_iir import biquad_scan
+    from ame_tpu.ops.scan_iir import sosfilt_scan
 
-    def one(x, coeffs):
-        y, _ = biquad_scan(x, coeffs.astype(x.dtype))
-        return y
-
-    x = one(x, _rbj_shelf_coeffs_jnp(C.BASS_SHELF_HZ, sample_rate,
-                                     jnp.asarray(bass_db), 0.7071, "low"))
-    x = one(x, _rbj_peaking_coeffs_jnp(C.MID_PEAK_HZ, sample_rate,
-                                       -jnp.asarray(mid_cut_db), peak_q))
-    x = one(x, _rbj_peaking_coeffs_jnp(C.PRESENCE_PEAK_HZ, sample_rate,
-                                       jnp.asarray(presence_db), peak_q))
-    x = one(x, _rbj_shelf_coeffs_jnp(C.TREBLE_SHELF_HZ, sample_rate,
-                                     jnp.asarray(treble_db), 0.7071, "high"))
-    return x
+    sos = jnp.stack([
+        _rbj_shelf_coeffs_jnp(C.BASS_SHELF_HZ, sample_rate,
+                              jnp.asarray(bass_db), 0.7071, "low"),
+        _rbj_peaking_coeffs_jnp(C.MID_PEAK_HZ, sample_rate,
+                                -jnp.asarray(mid_cut_db), peak_q),
+        _rbj_peaking_coeffs_jnp(C.PRESENCE_PEAK_HZ, sample_rate,
+                                jnp.asarray(presence_db), peak_q),
+        _rbj_shelf_coeffs_jnp(C.TREBLE_SHELF_HZ, sample_rate,
+                              jnp.asarray(treble_db), 0.7071, "high"),
+    ]).astype(x.dtype)
+    y, _ = sosfilt_scan(sos, x)
+    return y

@@ -40,15 +40,16 @@ def analog_character_quality(x: jax.Array, sample_rate: float,
     """Quality mode: same voicing intent with true RBJ shelves and
     continuous state (no chunk resets, no int16 round-trip)."""
     from ame_tpu.ops.eq import _rbj_shelf_coeffs_jnp
-    from ame_tpu.ops.scan_iir import biquad_scan
+    from ame_tpu.ops.scan_iir import sosfilt_scan
 
     factor = character_percent / 100.0
     drive = 1.0 + factor * 0.5
     y = jnp.tanh(x * drive)
-    lo = _rbj_shelf_coeffs_jnp(C.ANALOG_LOW_SHELF_HZ, sample_rate,
-                               jnp.asarray(factor * 1.0), 0.7071, "low")
-    hi = _rbj_shelf_coeffs_jnp(C.ANALOG_HIGH_SHELF_HZ, sample_rate,
-                               jnp.asarray(factor * 1.5), 0.7071, "high")
-    y, _ = biquad_scan(y, lo.astype(y.dtype))
-    y, _ = biquad_scan(y, hi.astype(y.dtype))
+    sos = jnp.stack([
+        _rbj_shelf_coeffs_jnp(C.ANALOG_LOW_SHELF_HZ, sample_rate,
+                              jnp.asarray(factor * 1.0), 0.7071, "low"),
+        _rbj_shelf_coeffs_jnp(C.ANALOG_HIGH_SHELF_HZ, sample_rate,
+                              jnp.asarray(factor * 1.5), 0.7071, "high"),
+    ]).astype(y.dtype)
+    y, _ = sosfilt_scan(sos, y)  # one fused cascade scan
     return y

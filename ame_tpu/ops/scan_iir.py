@@ -166,19 +166,23 @@ def _cascade_ks(x, sos, L, k):
         T = _ein("lij,ljk->lik", T, Ts)
         shift *= 2
 
-    # -- states BEFORE each sample ------------------------------------------
-    # s_before[b,k] = 𝔸^k c[b] + shift1(S)[b,k]
-    Ss1 = _shift_right(S, 1, axis=2)  # [D, NB, L, *tr]
-    corr = _ein("ljm,bm...->jbl...", T, C)  # [D, NB, L, *tr]
-    s_before = corr + Ss1
-
-    y = dpass * xb + _ein("j,jbl...->bl...", Crow, s_before)
+    # -- output: y[b,k] = d*x + Crow·(𝔸^k c[b] + shift1(S)[b,k]) -------------
+    # Precontract Crow with the 𝔸^k table (w[k] = Crowᵀ 𝔸^k, [L, D]) and
+    # with S (z = Crow·S, [NB, L, *tr]) so no [D, N]-sized intermediate is
+    # ever materialized — the carry correction costs one [L,D]x[NB,D] matmul.
+    w = _ein("j,ljm->lm", Crow, T)             # [L, D]
+    z = _ein("j,jbl...->bl...", Crow, S)       # [NB, L, *tr]
+    zs1 = _shift_right(z, 1, axis=1)
+    corr_y = _ein("lm,bm...->bl...", w, C)     # [NB, L, *tr]
+    y = dpass * xb + corr_y + zs1
     y = y.reshape((NB * L,) + tr)[:N]
 
     # -- final state (after sample N-1): 𝔸 @ s_before[N-1] + v[N-1] ---------
     bi = (N - 1) // L
     ki = (N - 1) % L
-    sb_last = s_before[:, bi, ki]  # [D, *tr]
+    sb_last = _ein("jm,m...->j...", T[ki], C[bi])
+    if ki > 0:
+        sb_last = sb_last + S[:, bi, ki - 1]
     v_last = B.reshape((D,) + (1,) * len(tr)) * xb[bi, ki]
     s_after_last = _ein("jm,m...->j...", A, sb_last) + v_last
     # [D, *tr] -> [k, *tr, 2] (scipy sosfilt zi layout)
@@ -231,15 +235,18 @@ def _cascade_ks_zi(x, sos, zi, L, k):
         T = _ein("lij,ljk->lik", T, Ts)
         shift *= 2
 
-    Ss1 = _shift_right(S, 1, axis=2)
-    corr = _ein("ljm,bm...->jbl...", T, C)
-    s_before = corr + Ss1
-    y = dpass * xb + _ein("j,jbl...->bl...", Crow, s_before)
+    w = _ein("j,ljm->lm", Crow, T)
+    z = _ein("j,jbl...->bl...", Crow, S)
+    zs1 = _shift_right(z, 1, axis=1)
+    corr_y = _ein("lm,bm...->bl...", w, C)
+    y = dpass * xb + corr_y + zs1
     y = y.reshape((NB * L,) + tr)[:N]
 
     bi = (N - 1) // L
     ki = (N - 1) % L
-    sb_last = s_before[:, bi, ki]
+    sb_last = _ein("jm,m...->j...", T[ki], C[bi])
+    if ki > 0:
+        sb_last = sb_last + S[:, bi, ki - 1]
     v_last = B.reshape((D,) + (1,) * len(tr)) * xb[bi, ki]
     s_after_last = _ein("jm,m...->j...", A, sb_last) + v_last
     zf = jnp.moveaxis(s_after_last.reshape((k, 2) + tr), 1, -1)

@@ -10,6 +10,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+# The env var alone is NOT honored in this environment (the TPU plugin wins
+# platform selection); the config update is.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compile cache: op compiles on this host are ~1 s each, so cache
 # them across test runs. Shares the package-default cache dir so ad-hoc
 # scripts and the test suite warm each other.

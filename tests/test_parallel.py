@@ -1,0 +1,68 @@
+"""Multi-chip paths on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ame_tpu.parallel.mesh import make_mesh
+from tests.conftest import make_test_signal
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def test_master_batch_dp():
+    from ame_tpu.parallel.batch import master_batch
+    from ame_tpu.config import MasterSettings
+    mesh = make_mesh({"data": 8})
+    xs = jnp.asarray(
+        np.stack([make_test_signal("noise", 4096, 44100, seed=i) * 0.2
+                  for i in range(8)]))
+    s = MasterSettings(bass_boost=1.5, lufs=-14.0, mode="quality")
+    ys = np.asarray(master_batch(xs, 44100.0, s, mesh=mesh))
+    assert ys.shape == xs.shape
+    assert np.isfinite(ys).all()
+    # each track processed independently: identical inputs -> identical outs
+    xs2 = jnp.asarray(np.stack([np.asarray(xs[0])] * 8))
+    ys2 = np.asarray(master_batch(xs2, 44100.0, s, mesh=mesh))
+    for b in range(1, 8):
+        np.testing.assert_array_equal(ys2[b], ys2[0])
+
+
+def test_sequence_parallel_matches_single_device():
+    from ame_tpu.parallel.sequence import sosfilt_sequence_parallel
+    from ame_tpu.ops.scan_iir import sosfilt_scan
+    from ame_tpu.dsp import design
+    mesh = make_mesh({"sp": 8})
+    n = 1024 * 8
+    x = jnp.asarray(make_test_signal("noise", n, 44100) * 0.3)
+    sos = design.butter_sos(4, 250.0, "lowpass", fs=44100)
+    y_sp = np.asarray(sosfilt_sequence_parallel(sos, x, mesh, axis="sp"))
+    y_1, _ = sosfilt_scan(sos, x)
+    np.testing.assert_allclose(y_sp, np.asarray(y_1), atol=2e-5)
+
+
+def test_sharded_train_step_runs_and_learns():
+    from ame_tpu.parallel.train import make_sharded_train_step
+    from ame_tpu.models import mood_cnn
+    mesh = make_mesh({"data": 4, "model": 2})
+    with mesh:
+        init_fn, step_fn, place_batch = make_sharded_train_step(
+            mesh, learning_rate=1e-3)
+        params, opt_state = init_fn(0)
+        rng = np.random.default_rng(0)
+        # [0, 1] spectrogram-image-like inputs
+        batch = jnp.asarray(rng.random(
+            (8, mood_cnn.IMG_SIZE, mood_cnn.IMG_SIZE, 3)), jnp.float32)
+        labels = jnp.asarray(rng.integers(0, 4, 8), jnp.int32)
+        batch, labels = place_batch(batch, labels)
+        # fixed dropout key: deterministic objective -> loss must descend
+        key = jax.random.PRNGKey(0)
+        losses = []
+        for i in range(8):
+            params, opt_state, loss, acc = step_fn(
+                params, opt_state, batch, labels, key)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], losses

@@ -67,9 +67,13 @@ def master_file(input_file: str, output_file: str,
     elif isinstance(settings, Mapping):
         settings = MasterSettings.from_dict(settings)
 
+    from ame_tpu.utils.telemetry import log_memory_usage
+
+    log_memory_usage("Pipeline Start")
     status_callback("Loading audio into device memory...")
     progress_callback(0, 100)
     audio, sr = read_audio(input_file)
+    log_memory_usage("After Decode")
 
     # engine:190-191 conditioning: force stereo; compat mode also forces the
     # int16 grid (set_sample_width(2) semantics).
@@ -100,10 +104,12 @@ def master_file(input_file: str, output_file: str,
     y.block_until_ready()
     y = y[:n]
     progress_callback(num_chunks + 3, total_steps)
+    log_memory_usage("After Graph")
 
     status_callback("Exporting master...")
     write_audio(output_file, np.asarray(y), sr, bits=16)
     progress_callback(total_steps, total_steps)
+    log_memory_usage("After Export")
 
     out = {"output_file": output_file, "sample_rate": sr, "n_samples": n}
     out.update({k: float(v) for k, v in info.items()})

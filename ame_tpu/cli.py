@@ -44,6 +44,28 @@ def _add_master_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--mp3", action="store_true", help="also export MP3")
 
 
+def _add_master_args_fleet(p: argparse.ArgumentParser) -> None:
+    """Fleet shares the master knobs minus per-file paths."""
+    p.add_argument("--analog-character", type=float, default=0.0)
+    p.add_argument("--bass", type=float, default=0.0, dest="bass_boost")
+    p.add_argument("--mid-cut", type=float, default=0.0, dest="mid_cut")
+    p.add_argument("--presence", type=float, default=0.0,
+                   dest="presence_boost")
+    p.add_argument("--treble", type=float, default=0.0, dest="treble_boost")
+    p.add_argument("--width", type=float, default=1.0)
+    p.add_argument("--lufs", type=float, default=-14.0)
+    p.add_argument("--no-lufs", action="store_true")
+    p.add_argument("--multiband", action="store_true")
+    p.add_argument("--low-thresh", type=float, default=-25.0)
+    p.add_argument("--low-ratio", type=float, default=6.0)
+    p.add_argument("--mid-thresh", type=float, default=-20.0)
+    p.add_argument("--mid-ratio", type=float, default=3.0)
+    p.add_argument("--high-thresh", type=float, default=-15.0)
+    p.add_argument("--high-ratio", type=float, default=4.0)
+    p.add_argument("--mode", choices=["quality", "compat"],
+                   default="quality")
+
+
 def _settings_from_args(args) -> dict:
     from ame_tpu.presets import EQ_PRESETS
     s = {
@@ -93,6 +115,12 @@ def main(argv=None) -> int:
 
     sub.add_parser("gui", help="desktop GUI")
 
+    pf = sub.add_parser("fleet", help="master a directory (resumable)")
+    pf.add_argument("input_dir")
+    pf.add_argument("output_dir")
+    pf.add_argument("--manifest", default=None)
+    _add_master_args_fleet(pf)
+
     args = parser.parse_args(argv)
 
     if args.cmd == "master":
@@ -125,6 +153,20 @@ def main(argv=None) -> int:
         from ame_tpu.gui import run_gui
         run_gui()
         return 0
+
+    if args.cmd == "fleet":
+        from ame_tpu.parallel.fleet import run_fleet
+        settings = {k: getattr(args, k) for k in (
+            "analog_character", "bass_boost", "mid_cut", "presence_boost",
+            "treble_boost", "width", "multiband", "low_thresh", "low_ratio",
+            "mid_thresh", "mid_ratio", "high_thresh", "high_ratio", "mode")}
+        settings["lufs"] = None if args.no_lufs else args.lufs
+        summary = run_fleet(args.input_dir, args.output_dir, settings,
+                            args.manifest,
+                            lambda m: print(f"[fleet] {m}",
+                                            file=sys.stderr))
+        print(json.dumps(summary))
+        return 0 if summary["failed"] == 0 else 2
 
     return 1
 

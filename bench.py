@@ -16,50 +16,90 @@ output; the measured loop amortizes that round-trip over 20 chained runs
 and subtracts it explicitly.
 """
 
+import argparse
 import json
 import time
 
 import numpy as np
 
+SR = 44100
+N = 1 << 23  # 8,388,608 samples = 190.2 s
 
-def main():
-    import jax.numpy as jnp
+
+def _configs():
+    """The five BASELINE.json bench configs as MasterSettings."""
     from ame_tpu.config import MasterSettings
+    return {
+        "eq_only": MasterSettings(bass_boost=2.5, mid_cut=1.0,
+                                  presence_boost=-1.0, treble_boost=0.5,
+                                  lufs=None, mode="quality"),
+        "eq_width_saturation": MasterSettings(
+            bass_boost=2.0, presence_boost=1.5, width=1.3,
+            analog_character=35.0, lufs=None, mode="quality"),
+        "multiband": MasterSettings(multiband=True, lufs=None,
+                                    mode="quality"),
+        "full_lufs": MasterSettings(bass_boost=2.0, presence_boost=1.5,
+                                    treble_boost=0.5, width=1.2,
+                                    analog_character=20.0, lufs=-14.0,
+                                    mode="quality"),
+    }
+
+
+def _time_config(x, settings, reps=20):
     from ame_tpu.graph.chain import master_graph_fused
 
-    sr = 44100
-    n = 1 << 23  # 8,388,608 samples = 190.2 s
-    duration_s = n / sr
-
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(0.1 * rng.standard_normal((n, 2)), jnp.float32)
-
-    settings = MasterSettings(bass_boost=2.0, presence_boost=1.5,
-                              treble_boost=0.5, width=1.2,
-                              analog_character=20.0, lufs=-14.0,
-                              mode="quality")
-
     def fetch(y):
+        # block_until_ready is unreliable over the tunneled TPU; a scalar
+        # fetch forces completion.
         return float(np.asarray(y[0, 0]))
 
-    # warmup / compile (persistently cached)
     for _ in range(2):
-        y, info = master_graph_fused(x, sr, settings)
+        y, _ = master_graph_fused(x, SR, settings)
         fetch(y)
-
-    # transfer round-trip to subtract
     t0 = time.perf_counter()
     fetch(y)
     rtt = time.perf_counter() - t0
-
-    reps = 20
     t0 = time.perf_counter()
     for _ in range(reps):
-        y, info = master_graph_fused(x, sr, settings)
+        y, _ = master_graph_fused(x, SR, settings)
     fetch(y)
     elapsed = (time.perf_counter() - t0 - rtt) / reps
-    x_realtime = duration_s / elapsed
+    return (N / SR) / elapsed
 
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--all-configs", action="store_true",
+                    help="also report per-config lines (BASELINE configs)")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(0.1 * rng.standard_normal((N, 2)), jnp.float32)
+    configs = _configs()
+
+    if args.all_configs:
+        for name, settings in configs.items():
+            xr = _time_config(x, settings, reps=10)
+            print(json.dumps({"config": name,
+                              "value": round(xr, 1),
+                              "unit": "x_realtime"}))
+        # Musicologist batch (config 5): spectrogram+CNN+features per track
+        from ame_tpu.analysis import musicologist as M
+        y22 = jnp.asarray(
+            0.1 * rng.standard_normal((int(30 * M.ANALYSIS_SR),)),
+            jnp.float32)
+        M.analyze_waveform(y22)  # warmup/compile
+        t0 = time.perf_counter()
+        for _ in range(5):
+            M.analyze_waveform(y22)
+        per = (time.perf_counter() - t0) / 5
+        print(json.dumps({"config": "musicologist_30s",
+                          "value": round(30.0 / per, 1),
+                          "unit": "x_realtime"}))
+
+    x_realtime = _time_config(x, configs["full_lufs"])
     print(json.dumps({
         "metric": "full-master x-realtime per chip (3-min 44.1kHz stereo, "
                   "quality chain: analog+EQ+width+LUFS+limiter)",

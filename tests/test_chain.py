@@ -111,6 +111,38 @@ def _oracle_pre_loudnorm_sr(x, settings_dict, sr, chunk_len=None):
                            for i in range(0, len(x), chunk_len)], axis=0)
 
 
+def test_compat_chunked_multiband_boundaries(monkeypatch):
+    """Actual chunk boundaries + multiband: filter AND compressor state must
+    reset per chunk exactly like the reference's segment loop (Q6)."""
+    import ame_tpu.config as C
+    monkeypatch.setattr(C, "COMPAT_CHUNK_SECONDS", 0.5)
+    sr = 16000  # crossovers must clear Nyquist, like the reference
+    chunk = int(0.5 * sr)
+    x = make_test_signal("noise", sr, sr, seed=9) * 0.05
+    x[sr // 3: 2 * sr // 3] *= 10.0
+    x = np.clip(x, -1, 1)
+    sd = dict(bass_boost=2.0, multiband=True,
+              low_thresh=-25.0, low_ratio=6.0, mid_thresh=-20.0,
+              mid_ratio=3.0, high_thresh=-15.0, high_ratio=4.0)
+
+    def oracle_chunk(seg):
+        seg = oracles.int16_roundtrip(seg)
+        seg = oracles.apply_eq(seg, sr, sd).astype(np.float64)
+        seg = oracles.int16_roundtrip(seg)
+        return oracles.multiband_compress(seg, sr, sd) / 32768.0
+
+    want = np.concatenate([oracle_chunk(x[i:i + chunk].astype(np.float64))
+                           for i in range(0, len(x), chunk)], axis=0)
+
+    s = MasterSettings.from_dict({**sd, "lufs": None, "mode": "compat",
+                                  "compat_chunked": True})
+    xq = quantize.int16_roundtrip(jnp.asarray(x))
+    got, _ = master_graph(xq, sr, s)
+    diff = np.abs(np.asarray(got, np.float64) * 32768.0 - want * 32768.0)
+    assert np.median(diff) <= 1.0
+    assert diff.max() <= 96, diff.max()
+
+
 def test_quality_mode_runs_and_hits_lufs():
     x = make_test_signal("sweep", SR * 2, SR) * 0.3
     s = MasterSettings(bass_boost=2.0, presence_boost=1.0, width=1.2,

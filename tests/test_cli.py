@@ -1,0 +1,50 @@
+"""CLI smoke tests (in-process main() — subprocesses would recompile)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ame_tpu.cli import main
+from ame_tpu.io.wav import write_wav
+from tests.conftest import make_test_signal
+
+
+@pytest.fixture
+def track(tmp_path):
+    x = make_test_signal("noise", 4096, 44100) * 0.2
+    p = str(tmp_path / "in.wav")
+    write_wav(p, x, 44100)
+    return p
+
+
+def test_cli_master(track, tmp_path, capsys):
+    out = str(tmp_path / "out.wav")
+    rc = main(["master", track, out, "--bass", "2", "--no-lufs"])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip())
+    assert info["output_file"] == out
+    assert os.path.exists(out)
+
+
+def test_cli_master_preset(track, tmp_path, capsys):
+    out = str(tmp_path / "p.wav")
+    rc = main(["master", track, out, "--preset", "Bass Punch", "--no-lufs"])
+    assert rc == 0 and os.path.exists(out)
+
+
+def test_cli_analyze(track, capsys):
+    rc = main(["analyze", track])
+    assert rc == 0
+    brief = json.loads(capsys.readouterr().out.strip())
+    assert "mood" in brief or "error" in brief
+
+
+def test_cli_fleet(track, tmp_path, capsys):
+    src = str(tmp_path)  # contains in.wav
+    dst = str(tmp_path / "out")
+    rc = main(["fleet", src, dst, "--no-lufs"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["done"] == 1

@@ -75,6 +75,42 @@ def rms_mean(y: jax.Array, frame_length: int = 2048, hop: int = 512):
     return jnp.mean(jnp.sqrt(jnp.mean(frames * frames, axis=1)))
 
 
+@partial(jax.jit, static_argnums=(1,))
+def extract_all(y: jax.Array, sr: float):
+    """All technical features in ONE program (one device dispatch):
+    returns (tempo_bpm, centroid_mean, rms_mean). Shares the STFT between
+    the centroid and the onset envelope's mel spectrogram input."""
+    mag = S.stft_mag(y, 2048, 512)  # [bins, frames]
+
+    # centroid
+    freqs = jnp.linspace(0.0, sr / 2.0, mag.shape[0])[:, None]
+    cent = jnp.sum(freqs * mag, axis=0) / jnp.maximum(
+        jnp.sum(mag, axis=0), 1e-10)
+    centroid = jnp.mean(cent)
+
+    # rms (frame energy from the same frames as librosa's defaults)
+    frames = S.frame_signal(y, 2048, 512)
+    rms = jnp.mean(jnp.sqrt(jnp.mean(frames * frames, axis=1)))
+
+    # tempo from the mel flux of the shared magnitude spectrogram
+    fb = jnp.asarray(S.mel_filterbank(sr, 2048, 128), y.dtype)
+    mel = jnp.matmul(fb, mag * mag, precision=jax.lax.Precision.HIGHEST)
+    db = S.power_to_db(mel)
+    env = jnp.mean(jnp.maximum(db[:, 1:] - db[:, :-1], 0.0), axis=0)
+    env = env - jnp.mean(env)
+    n = env.shape[0]
+    E = jnp.fft.rfft(env, 2 * n)
+    ac = jnp.maximum(jnp.fft.irfft(E * jnp.conj(E), 2 * n)[:n], 0.0)
+    fps = sr / 512.0
+    lags = jnp.arange(n, dtype=jnp.float32)
+    bpms = jnp.where(lags > 0, 60.0 * fps / jnp.maximum(lags, 1), jnp.inf)
+    prior = jnp.exp(-0.5 * ((jnp.log2(jnp.maximum(bpms, 1e-6))
+                             - np.log2(120.0)) ** 2))
+    valid = (bpms >= 30.0) & (bpms <= 300.0)
+    tempo = bpms[jnp.argmax(jnp.where(valid, ac * prior, -1.0))]
+    return tempo, centroid, rms
+
+
 def classify(tempo: float, centroid: float, rms: float) -> dict:
     """The reference's exact bucket thresholds (ai_tagger.py:87-89)."""
     tempo_class = ("fast" if tempo > 120 else

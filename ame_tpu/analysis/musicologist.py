@@ -65,9 +65,8 @@ def analyze_waveform(y: jax.Array) -> dict:
     img = spectrogram_image(y)
     mood = mood_cnn.predict_mood(params, img)
 
-    tempo = float(F.tempo_bpm(y, float(ANALYSIS_SR)))
-    centroid = float(F.spectral_centroid_mean(y, float(ANALYSIS_SR)))
-    rms = float(F.rms_mean(y))
+    t, c, r = F.extract_all(y, float(ANALYSIS_SR))
+    tempo, centroid, rms = float(t), float(c), float(r)
     buckets = F.classify(tempo, centroid, rms)
 
     brief = {
@@ -117,9 +116,8 @@ def analyze_batch(paths: list[str]) -> list[dict]:
                  for k in jnp.argmax(logits, axis=-1)]
         for j, i in enumerate(valid):
             y = ys[i]
-            tempo = float(F.tempo_bpm(y, float(ANALYSIS_SR)))
-            centroid = float(F.spectral_centroid_mean(y, float(ANALYSIS_SR)))
-            rms = float(F.rms_mean(y))
+            t, c, r = F.extract_all(y, float(ANALYSIS_SR))
+            tempo, centroid, rms = float(t), float(c), float(r)
             b = F.classify(tempo, centroid, rms)
             briefs[i] = {
                 "mood": moods[j],

@@ -83,9 +83,9 @@ def _stage_multiband_compat(x, threshs, ratios, sample_rate, exact,
                                exact=exact, chunk_len=chunk_len)
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def _stage_normalize(x, target, sample_rate, requantize):
-    y, info = normalize_two_pass(x, sample_rate, target)
+@partial(jax.jit, static_argnums=(3, 4))
+def _stage_normalize(x, target, n_valid, sample_rate, requantize):
+    y, info = normalize_two_pass(x, sample_rate, target, n_valid=n_valid)
     if requantize:
         y = quantize.int16_roundtrip(y)  # ffmpeg pass-2 writes pcm_s16le
     return y, info
@@ -116,7 +116,7 @@ def _stage_multiband_quality(x, threshs, ratios, sample_rate):
 # ---------------------------------------------------------------------------
 
 def _master_compat(x, sample_rate, p, *, analog_on, width_on, multiband_on,
-                   lufs_on, chunked, comp_exact=True):
+                   lufs_on, chunked, comp_exact=True, n_valid=None):
     chunk_len = int(C.COMPAT_CHUNK_SECONDS * sample_rate) if chunked else None
     info = {}
     if analog_on:  # engine:192
@@ -129,7 +129,8 @@ def _master_compat(x, sample_rate, p, *, analog_on, width_on, multiband_on,
         x = _stage_multiband_compat(x, p["threshs"], p["ratios"],
                                     sample_rate, comp_exact, chunk_len)
     if lufs_on:  # engine:216-220
-        x, loud_info = _stage_normalize(x, p["lufs"], sample_rate, True)
+        x, loud_info = _stage_normalize(x, p["lufs"], n_valid, sample_rate,
+                                        True)
         info.update(loud_info)
     # engine:223 — alimiter, always (quirk Q8)
     x = lookahead_limiter(x, sample_rate, C.LIMITER_CEILING,
@@ -138,7 +139,7 @@ def _master_compat(x, sample_rate, p, *, analog_on, width_on, multiband_on,
 
 
 def _master_quality(x, sample_rate, p, *, analog_on, width_on, multiband_on,
-                    lufs_on):
+                    lufs_on, n_valid=None):
     info = {}
     x = _stage_pre_quality(x, p["analog"], p["bass"], p["mid_cut"],
                            p["presence"], p["treble"], sample_rate,
@@ -147,26 +148,29 @@ def _master_quality(x, sample_rate, p, *, analog_on, width_on, multiband_on,
         x = _stage_multiband_quality(x, p["threshs"], p["ratios"],
                                      sample_rate)
     if lufs_on:
-        x, loud_info = _stage_normalize(x, p["lufs"], sample_rate, False)
+        x, loud_info = _stage_normalize(x, p["lufs"], n_valid, sample_rate,
+                                        False)
         info.update(loud_info)
     x = lookahead_limiter(x, sample_rate, C.LIMITER_CEILING,
                           C.LIMITER_ATTACK_MS, C.LIMITER_RELEASE_MS)
     return x, info
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def _master_fused_jit(x, p, sample_rate, structure):
+@partial(jax.jit, static_argnums=(3, 4))
+def _master_fused_jit(x, p, n_valid, sample_rate, structure):
     (mode, chunked, multiband_on, analog_on, width_on, lufs_on) = structure
     if mode == "compat":
         return _master_compat(
             x, sample_rate, p, analog_on=analog_on, width_on=width_on,
-            multiband_on=multiband_on, lufs_on=lufs_on, chunked=chunked)
+            multiband_on=multiband_on, lufs_on=lufs_on, chunked=chunked,
+            n_valid=n_valid)
     return _master_quality(
         x, sample_rate, p, analog_on=analog_on, width_on=width_on,
-        multiband_on=multiband_on, lufs_on=lufs_on)
+        multiband_on=multiband_on, lufs_on=lufs_on, n_valid=n_valid)
 
 
-def master_graph_fused(x: jax.Array, sample_rate: float, settings) -> tuple:
+def master_graph_fused(x: jax.Array, sample_rate: float, settings,
+                       n_valid=None) -> tuple:
     """One-program variant of ``master_graph``: the whole chain in a single
     XLA executable. Minimum dispatch count (1) — right for serving/bench
     loops where per-dispatch latency matters; compile cost is higher than
@@ -175,11 +179,12 @@ def master_graph_fused(x: jax.Array, sample_rate: float, settings) -> tuple:
     if isinstance(settings, dict):
         settings = MasterSettings.from_dict(settings)
     p = params_from_settings(settings)
-    return _master_fused_jit(x, p, float(sample_rate),
+    return _master_fused_jit(x, p, n_valid, float(sample_rate),
                              settings.structure_key())
 
 
-def master_graph(x: jax.Array, sample_rate: float, settings) -> tuple:
+def master_graph(x: jax.Array, sample_rate: float, settings,
+                 n_valid=None) -> tuple:
     """Run the full mastering graph.
 
     Args:
@@ -201,7 +206,8 @@ def master_graph(x: jax.Array, sample_rate: float, settings) -> tuple:
     if mode == "compat":
         return _master_compat(
             x, float(sample_rate), p, analog_on=analog_on, width_on=width_on,
-            multiband_on=multiband_on, lufs_on=lufs_on, chunked=chunked)
+            multiband_on=multiband_on, lufs_on=lufs_on, chunked=chunked,
+            n_valid=n_valid)
     return _master_quality(
         x, float(sample_rate), p, analog_on=analog_on, width_on=width_on,
-        multiband_on=multiband_on, lufs_on=lufs_on)
+        multiband_on=multiband_on, lufs_on=lufs_on, n_valid=n_valid)

@@ -81,9 +81,11 @@ def multiband_quality(x: jax.Array, sample_rate: float, threshs, ratios,
     rest, _ = sosfilt_scan(lo_hp, x)
     high, _ = sosfilt_scan(hi_sos, rest)
     mid, _ = sosfilt_scan(hi_lp, rest)
-    out = jnp.zeros_like(x)
-    for i, band in enumerate((low, mid, high)):
-        out = out + compressor.compress_quality(
-            band, sample_rate, threshs[i], ratios[i],
-            attack_ms=attack_ms, release_ms=release_ms)
-    return out
+    # one stacked gain pipeline for all three bands (detector + release +
+    # attack scans run once on [N, 3] instead of three times)
+    comp = compressor.compress_quality_multi(
+        [low, mid, high], sample_rate,
+        [threshs[0], threshs[1], threshs[2]],
+        [ratios[0], ratios[1], ratios[2]],
+        attack_ms=attack_ms, release_ms=release_ms)
+    return comp[0] + comp[1] + comp[2]

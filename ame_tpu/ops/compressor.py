@@ -211,31 +211,45 @@ def pydub_compress_fast(x_int: jax.Array, sample_rate: float, threshold_db,
 # 3. Quality path — smooth decoupled detector, all-associative
 # ---------------------------------------------------------------------------
 
+def compress_quality_multi(bands, sample_rate, thresholds_db, ratios,
+                           attack_ms=5.0, release_ms=50.0, rms_ms=5.0):
+    """Compress G bands at once: the detector, release scan, and attack
+    smoother each run ONCE on [N, G]-stacked signals instead of per band
+    (same attack/release for all bands; thresholds/ratios per band).
+
+    bands: list of G arrays [N, C]. Returns list of compressed bands.
+    """
+    G = len(bands)
+    n = bands[0].shape[0]
+    dt = bands[0].dtype
+    rms_w = max(int(rms_ms * sample_rate / 1000.0), 1)
+
+    sq = jnp.stack([jnp.mean(b * b, axis=1) for b in bands], axis=1)  # [N,G]
+    mean_sq = W.moving_mean_past(sq, rms_w)
+    level_db = 10.0 * jnp.log10(jnp.maximum(mean_sq, 1e-12))
+
+    th = jnp.asarray(thresholds_db, dt).reshape(1, G)
+    ra = jnp.asarray(ratios, dt).reshape(1, G)
+    over = jnp.maximum(level_db - th, 0.0)
+    gr_db = over * (1.0 - 1.0 / ra)
+
+    rel_decay = math.exp(-1.0 / (release_ms * sample_rate / 1000.0))
+    gr_rel = W.release_scan(gr_db, rel_decay)
+    a = math.exp(-1.0 / (attack_ms * sample_rate / 1000.0))
+    coeffs = jnp.array([1.0 - a, 0.0, 0.0, 1.0, -a, 0.0], dt)
+    gr_smooth, _ = biquad_scan(gr_rel, coeffs)  # [N, G]
+
+    gains = 10.0 ** (-gr_smooth / 20.0)
+    return [bands[g] * gains[:, g][:, None] for g in range(G)]
+
+
 @partial(jax.jit, static_argnums=(1,))
 def _compress_quality_jit(args, static):
     x, threshold_db, ratio, makeup_db = args
     sample_rate, attack_ms, release_ms, rms_ms = static
-
-    n = x.shape[0]
-    rms_w = max(int(rms_ms * sample_rate / 1000.0), 1)
-    # level detector: windowed RMS (power domain), both channels
-    sq = jnp.mean(x * x, axis=1)
-    mean_sq = W.moving_mean_past(sq, rms_w)
-    level_db = 10.0 * jnp.log10(jnp.maximum(mean_sq, 1e-12))
-
-    # gain computer (downward compression above threshold)
-    over = jnp.maximum(level_db - threshold_db, 0.0)
-    gr_db = over * (1.0 - 1.0 / ratio)  # desired gain reduction, >= 0
-
-    # smooth decoupled: release as (×,max) scan, then attack one-pole
-    rel_decay = math.exp(-1.0 / (release_ms * sample_rate / 1000.0))
-    gr_rel = W.release_scan(gr_db, rel_decay)
-    a = math.exp(-1.0 / (attack_ms * sample_rate / 1000.0))
-    coeffs = jnp.array([1.0 - a, 0.0, 0.0, 1.0, -a, 0.0], x.dtype)
-    gr_smooth, _ = biquad_scan(gr_rel, coeffs)
-
-    gain = 10.0 ** ((makeup_db - gr_smooth) / 20.0)
-    return x * gain[:, None]
+    (y,) = compress_quality_multi([x], sample_rate, [threshold_db],
+                                  [ratio], attack_ms, release_ms, rms_ms)
+    return y * 10.0 ** (makeup_db / 20.0)
 
 
 def compress_quality(x: jax.Array, sample_rate: float, threshold_db, ratio,

@@ -36,25 +36,37 @@ from ame_tpu.ops.scan_iir import sosfilt_scan
 # ---------------------------------------------------------------------------
 
 def _gating_block_powers(y: jax.Array, sample_rate: float,
-                         block_s: float, hop_s: float) -> jax.Array:
+                         block_s: float, hop_s: float,
+                         n_valid=None):
     """Mean-square power per gating block (sum over channels of per-channel
     mean square — BS.1770 channel weights are 1.0 for L/R).
 
-    y: [N, C] K-weighted audio. Returns [n_blocks] powers.
+    y: [N, C] K-weighted audio. Returns ([n_blocks] powers, [n_blocks]
+    validity mask). ``n_valid`` (traced) marks the true track length when
+    the buffer carries bucket padding: blocks extending into the padding
+    are masked out, exactly as if the track had been measured unpadded
+    (a truncated partial block is dropped, per the spec).
     """
     n = y.shape[0]
     hop = int(round(hop_s * sample_rate))
     steps = int(round(block_s / hop_s))  # sub-hops per block (4 or 30)
     n_hops = n // hop
     if n_hops < steps:
-        return jnp.zeros((0,), y.dtype)
+        z = jnp.zeros((0,), y.dtype)
+        return z, z.astype(bool)
     sq = jnp.sum(y * y, axis=1)  # [N]
     hop_sums = jnp.sum(sq[: n_hops * hop].reshape(n_hops, hop), axis=1)
     # block j covers hops [j, j+steps)
     n_blocks = n_hops - steps + 1
     csum = jnp.concatenate([jnp.zeros((1,), y.dtype), jnp.cumsum(hop_sums)])
     block_sums = csum[steps:steps + n_blocks] - csum[:n_blocks]
-    return block_sums / (hop * steps)
+    powers = block_sums / (hop * steps)
+    if n_valid is None:
+        valid = jnp.ones((n_blocks,), bool)
+    else:
+        ends = (jnp.arange(n_blocks) + steps) * hop
+        valid = ends <= n_valid
+    return powers, valid
 
 
 def _power_to_lufs(p):
@@ -66,14 +78,14 @@ def _power_to_lufs(p):
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnums=(1,))
-def _measure_jit(x, sample_rate):
-    sos = jnp.asarray(design.k_weighting_sos(sample_rate), x.dtype)
+def _measure_jit(x, sample_rate, n_valid=None):
+    sos = design.k_weighting_sos(sample_rate)  # host numpy -> f64 pack path
     y, _ = sosfilt_scan(sos, x)
 
     # integrated: 400 ms / 100 ms hop
-    p_m = _gating_block_powers(y, sample_rate, 0.400, 0.100)
+    p_m, v_m = _gating_block_powers(y, sample_rate, 0.400, 0.100, n_valid)
     l_m = _power_to_lufs(p_m)
-    abs_mask = l_m > -70.0
+    abs_mask = (l_m > -70.0) & v_m
     any_abs = jnp.any(abs_mask)
     mean_abs = jnp.sum(jnp.where(abs_mask, p_m, 0.0)) / jnp.maximum(
         jnp.sum(abs_mask), 1)
@@ -87,12 +99,12 @@ def _measure_jit(x, sample_rate):
                            -jnp.inf)
 
     # LRA: 3 s short-term, 100 ms hop, -20 LU relative gate, P10..P95
-    p_s = _gating_block_powers(y, sample_rate, 3.000, 0.100)
+    p_s, v_s = _gating_block_powers(y, sample_rate, 3.000, 0.100, n_valid)
     if p_s.shape[0] == 0:
         lra = jnp.asarray(0.0, x.dtype)
     else:
         l_s = _power_to_lufs(p_s)
-        abs_s = l_s > -70.0
+        abs_s = (l_s > -70.0) & v_s
         mean_s = jnp.sum(jnp.where(abs_s, p_s, 0.0)) / jnp.maximum(
             jnp.sum(abs_s), 1)
         rel_s = _power_to_lufs(mean_s) - 20.0
@@ -170,19 +182,20 @@ def true_peak_db(x: jax.Array) -> jax.Array:
 # Public measurement API
 # ---------------------------------------------------------------------------
 
-def integrated_lufs(x: jax.Array, sample_rate: float) -> jax.Array:
+def integrated_lufs(x: jax.Array, sample_rate: float,
+                    n_valid=None) -> jax.Array:
     """Gated integrated loudness of [N, C] (or [N]) audio, in LUFS."""
     if x.ndim == 1:
         x = x[:, None]
-    return _measure_jit(x, float(sample_rate))[0]
+    return _measure_jit(x, float(sample_rate), n_valid)[0]
 
 
-def measure(x: jax.Array, sample_rate: float) -> dict:
+def measure(x: jax.Array, sample_rate: float, n_valid=None) -> dict:
     """Full pass-1 measurement (the on-device analog of the reference's
     loudnorm print_format=json scrape, engine:229-237)."""
     if x.ndim == 1:
         x = x[:, None]
-    integrated, lra = _measure_jit(x, float(sample_rate))
+    integrated, lra = _measure_jit(x, float(sample_rate), n_valid)
     tp = true_peak_db(x)
     return {"input_i": integrated, "input_lra": lra, "input_tp": tp}
 
@@ -194,7 +207,8 @@ def measure(x: jax.Array, sample_rate: float) -> dict:
 def normalize_two_pass(x: jax.Array, sample_rate: float,
                        target_lufs: float = -14.0,
                        target_tp_db: float = -1.5,
-                       protect_tp: bool = False):
+                       protect_tp: bool = False,
+                       n_valid=None):
     """Measure, then apply one linear gain to reach ``target_lufs``.
 
     Mirrors the reference path (engine:227-246): silent input (measured
@@ -206,7 +220,7 @@ def normalize_two_pass(x: jax.Array, sample_rate: float,
     """
     if x.ndim == 1:
         x = x[:, None]
-    stats = measure(x, sample_rate)
+    stats = measure(x, sample_rate, n_valid)
     gain_db = jnp.asarray(target_lufs, x.dtype) - stats["input_i"]
     if protect_tp:
         headroom = jnp.asarray(target_tp_db, x.dtype) - stats["input_tp"]

@@ -56,7 +56,15 @@ def _ein(spec, *ops):
     return jnp.einsum(spec, *ops, precision=_HI)
 
 
-_MAX_BLOCK = 1 << 16
+# Within-block scan length. Each level is one pass over the [D, N, C]
+# state arrays, so small L = few big passes; the block carry is itself a
+# parallel prefix (_carry_prefix) over NB = N/L elements, so it stays cheap
+# until NB·D approaches N. Swept on v5e (8.4M-sample k=2 cascade):
+# L=65536: 57 ms, 4096: 28 ms, 1024: 23 ms, 256: 18 ms, 128: 16 ms,
+# 64: 20 ms. Default 128; override for experiments.
+import os as _os
+
+_MAX_BLOCK = int(_os.environ.get("AME_TPU_SCAN_BLOCK", 128))
 
 
 def _pow2ceil(n: int) -> int:
@@ -74,14 +82,31 @@ def _shift_right(x, k, axis):
 
 def _cascade_state_space(sos: jax.Array, dt):
     """Compose k TDF-II sections into (𝔸 [D,D], 𝔹 [D], Crow [D], d) with
-    D = 2k. Section i (coeffs b0,b1,b2,1,a1,a2):
+    D = 2k. Section i (coeffs b0,b1,b2,1,a1,a2) in TDF-II form:
 
         y_i   = b0*u_i + s1_i
         s1_i' = (b1 - a1*b0)*u_i - a1*s1_i + s2_i
         s2_i' = (b2 - a2*b0)*u_i - a2*s1_i
 
     with u_{i+1} = y_i, u_1 = x. The global input-to-u_i sensitivity is
-    tracked as (scalar g_i = du_i/dx, row r_i = du_i/ds)."""
+    tracked as (scalar g_i = du_i/dx, row r_i = du_i/ds).
+
+    Numerics: each section's 2x2 block is similarity-transformed to the
+    COUPLED (rotation) form A_c = [[α, -β], [β, α]] with α = -a1/2,
+    β = sqrt(a2 - α²) when the poles are complex. Companion-form powers of
+    near-unit-circle poles grow transiently like k^(2s-1)·|p|^k and
+    OVERFLOW f32 during the scan's matrix squarings (observed with the
+    reference's Nyquist-clamped bandpass, quirk Q14); rotation blocks are
+    normal matrices whose powers stay at |p|^k. The transform
+    V = [[1, 0], [-α, -β]] keeps the first state component equal to the
+    TDF-II s1 (V's first row is e1), so the output equation and the scipy
+    ``zi`` convention are unchanged up to the per-section second component:
+    s̃2 = -(α·s1 + s2)/β. Sections with real poles (β² <= 0) keep the
+    companion form (their powers grow at most like k·|p|^k).
+
+    The where()-based form selection keeps everything traced: one compiled
+    program serves both pole types.
+    """
     k = sos.shape[0]
     D = 2 * k
     zero = jnp.zeros((), dt)
@@ -97,18 +122,35 @@ def _cascade_state_space(sos: jax.Array, dt):
         i1, i2 = 2 * i, 2 * i + 1
         c1 = b1 - a1 * b0
         c2 = b2 - a2 * b0
-        # s1_i' = c1*u_i - a1*s1_i + s2_i
+
+        alpha = -a1 * 0.5
+        beta_sq = a2 - alpha * alpha
+        is_complex = beta_sq > 1e-12
+        beta = jnp.sqrt(jnp.where(is_complex, beta_sq, 1.0))
+
+        # companion block rows: [[-a1, 1], [-a2, 0]], B = [c1, c2]
+        # coupled block rows:   [[α, -β], [β, α]],
+        #   B̃ = [c1, -(α c1 + c2)/β]   (s̃1 == TDF-II s1)
+        a_11 = jnp.where(is_complex, alpha, -a1)
+        a_12 = jnp.where(is_complex, -beta, one)
+        a_21 = jnp.where(is_complex, beta, -a2)
+        a_22 = jnp.where(is_complex, alpha, zero)
+        b_1 = c1
+        b_2 = jnp.where(is_complex, -(alpha * c1 + c2) / beta, c2)
+
+        # s̃1' = a_11*s̃1 + a_12*s̃2 + b_1*u_i
         for j in range(D):
-            A_rows[i1][j] = c1 * r[j]
-        A_rows[i1][i1] = A_rows[i1][i1] - a1
-        A_rows[i1][i2] = A_rows[i1][i2] + one
-        B_col[i1] = c1 * g
-        # s2_i' = c2*u_i - a2*s1_i
+            A_rows[i1][j] = b_1 * r[j]
+        A_rows[i1][i1] = A_rows[i1][i1] + a_11
+        A_rows[i1][i2] = A_rows[i1][i2] + a_12
+        B_col[i1] = b_1 * g
+        # s̃2' = a_21*s̃1 + a_22*s̃2 + b_2*u_i
         for j in range(D):
-            A_rows[i2][j] = c2 * r[j]
-        A_rows[i2][i1] = A_rows[i2][i1] - a2
-        B_col[i2] = c2 * g
-        # u_{i+1} = y_i = b0*u_i + s1_i
+            A_rows[i2][j] = b_2 * r[j]
+        A_rows[i2][i1] = A_rows[i2][i1] + a_21
+        A_rows[i2][i2] = A_rows[i2][i2] + a_22
+        B_col[i2] = b_2 * g
+        # u_{i+1} = y_i = b0*u_i + s̃1_i
         r = [b0 * r[j] for j in range(D)]
         r[i1] = r[i1] + one
         g = b0 * g
@@ -117,6 +159,60 @@ def _cascade_state_space(sos: jax.Array, dt):
     Crow = jnp.stack(r)   # dy/ds  (y = y_k)
     dpass = g             # dy/dx
     return A, B, Crow, dpass
+
+
+def _zi_transforms(sos: jax.Array, dt):
+    """Per-section (to_internal, to_scipy) 2x2 maps between scipy TDF-II zi
+    and the internal (possibly coupled) state: s̃ = V⁻¹ s, s = V s̃ with
+    V = [[1, 0], [-α, -β]] for complex sections, identity for real."""
+    k = sos.shape[0]
+    fwd = []
+    inv = []
+    for i in range(k):
+        a1, a2 = sos[i, 4], sos[i, 5]
+        alpha = -a1 * 0.5
+        beta_sq = a2 - alpha * alpha
+        is_complex = beta_sq > 1e-12
+        beta = jnp.sqrt(jnp.where(is_complex, beta_sq, 1.0))
+        one = jnp.ones((), dt)
+        zero = jnp.zeros((), dt)
+        # V⁻¹ = [[1, 0], [-α/β, -1/β]]
+        vinv = jnp.stack([
+            jnp.stack([one, zero]),
+            jnp.stack([jnp.where(is_complex, -alpha / beta, zero),
+                       jnp.where(is_complex, -1.0 / beta, one)]),
+        ])
+        v = jnp.stack([
+            jnp.stack([one, zero]),
+            jnp.stack([jnp.where(is_complex, -alpha, zero),
+                       jnp.where(is_complex, -beta, one)]),
+        ])
+        inv.append(vinv)
+        fwd.append(v)
+    return jnp.stack(inv), jnp.stack(fwd)  # [k, 2, 2] each
+
+
+def _carry_prefix(AL, e, c0):
+    """Parallel prefix of the block-carry recurrence c[b+1] = AL c[b] + e[b].
+
+    e: [NB, D, *tr]; c0: [D, *tr]. Returns C [NB, D, *tr] with C[b] = state
+    BEFORE block b. Kogge-Stone with constant AL — O(log NB) levels on
+    NB-sized (tiny) arrays, replacing a sequential lax.scan that dominated
+    runtime for small block lengths. c0 enters by folding AL·c0 into e[0]
+    (then C[b] = shift1(F)[b] carries AL^b·c0 exactly)."""
+    NB = e.shape[0]
+    e = e.at[0].add(_ein("jm,m...->j...", AL, c0))
+    P = 1 << max(NB - 1, 1).bit_length() if NB > 1 else 1
+    F = jnp.pad(e, [(0, P - NB)] + [(0, 0)] * (e.ndim - 1))
+    M = AL
+    s = 1
+    while s < P:
+        Fs = _shift_right(F, s, axis=0)
+        F = F + _ein("jm,bm...->bj...", M, Fs)
+        M = _mm(M, M)
+        s *= 2
+    F = F[:NB]
+    return jnp.concatenate([c0[None], F[:-1]], axis=0)
 
 
 @partial(jax.jit, static_argnums=(2, 3))
@@ -144,15 +240,9 @@ def _cascade_ks(x, sos, L, k):
     AL = Al  # 𝔸^L
 
     # -- carry across blocks: c[b] = state BEFORE block b -------------------
-    e = S[:, :, -1]  # [D, NB, *tr]
-    e = jnp.moveaxis(e, 1, 0)  # [NB, D, *tr]
-
-    def step(c, eb):
-        nxt = _ein("jm,m...->j...", AL, c) + eb
-        return nxt, c
-
+    e = jnp.moveaxis(S[:, :, -1], 1, 0)  # [NB, D, *tr]
     c0 = jnp.zeros((D,) + tr, dt)
-    _, C = jax.lax.scan(step, c0, e)  # C: [NB, D, *tr] state before block b
+    C = _carry_prefix(AL, e, c0)  # [NB, D, *tr]
 
     # -- 𝔸^k table, k = 0..L-1 ---------------------------------------------
     eye = jnp.eye(D, dtype=dt)
@@ -185,8 +275,10 @@ def _cascade_ks(x, sos, L, k):
         sb_last = sb_last + S[:, bi, ki - 1]
     v_last = B.reshape((D,) + (1,) * len(tr)) * xb[bi, ki]
     s_after_last = _ein("jm,m...->j...", A, sb_last) + v_last
-    # [D, *tr] -> [k, *tr, 2] (scipy sosfilt zi layout)
-    zf = jnp.moveaxis(s_after_last.reshape((k, 2) + tr), 1, -1)
+    # internal (coupled) state -> scipy TDF-II zi layout [k, *tr, 2]
+    _, Vf = _zi_transforms(sos, dt)
+    st = _ein("kab,kb...->ka...", Vf, s_after_last.reshape((k, 2) + tr))
+    zf = jnp.moveaxis(st, 1, -1)
     return y, zf
 
 
@@ -217,13 +309,12 @@ def _cascade_ks_zi(x, sos, zi, L, k):
     AL = Al
 
     e = jnp.moveaxis(S[:, :, -1], 1, 0)
-
-    def step(c, eb):
-        nxt = _ein("jm,m...->j...", AL, c) + eb
-        return nxt, c
-
-    c0 = jnp.moveaxis(zi.astype(dt), -1, 1).reshape((D,) + tr)
-    _, C = jax.lax.scan(step, c0, e)
+    # scipy TDF-II zi -> internal (coupled) state
+    Vi, _ = _zi_transforms(sos, dt)
+    zi_int = _ein("kab,kb...->ka...", Vi,
+                  jnp.moveaxis(zi.astype(dt), -1, 1))
+    c0 = zi_int.reshape((D,) + tr)
+    C = _carry_prefix(AL, e, c0)
 
     eye = jnp.eye(D, dtype=dt)
     T = jnp.where((jnp.arange(L) == 0)[:, None, None], eye[None], A[None])
@@ -249,7 +340,183 @@ def _cascade_ks_zi(x, sos, zi, L, k):
         sb_last = sb_last + S[:, bi, ki - 1]
     v_last = B.reshape((D,) + (1,) * len(tr)) * xb[bi, ki]
     s_after_last = _ein("jm,m...->j...", A, sb_last) + v_last
-    zf = jnp.moveaxis(s_after_last.reshape((k, 2) + tr), 1, -1)
+    _, Vf = _zi_transforms(sos, dt)
+    st = _ein("kab,kb...->ka...", Vf, s_after_last.reshape((k, 2) + tr))
+    zf = jnp.moveaxis(st, 1, -1)
+    return y, zf
+
+
+# ---------------------------------------------------------------------------
+# Host-precomputed matrix path (float64-accurate level matrices)
+# ---------------------------------------------------------------------------
+# Repeated f32 squaring of the cascade matrix is numerically unstable for
+# near-defective filters (the reference's Nyquist-clamped bandpass, Q14,
+# has pole pairs with |p| ~ 1-3e-6 and Im ~ 1e-6: f32 squaring error blows
+# up around A^(2^12) and overflows by A^(2^16)). Compat-mode filters are
+# DESIGNED ON THE HOST (numpy coefficients), so all level matrices can be
+# computed once in float64 and enter the graph as plain f32 *values* — no
+# in-graph squaring chains, bounded rounding, and fewer ops. Traced
+# (gain-dependent, quality-mode) filters keep the in-graph builder: their
+# bounded gains put poles well inside the unit circle where f32 squaring
+# is stable.
+
+_CARRY_LEVELS = 40  # covers N up to L * 2^40 blocks
+
+
+def _state_space_np(sos: np.ndarray):
+    """numpy float64 mirror of _cascade_state_space (+ V transforms)."""
+    sos = np.asarray(sos, np.float64)
+    k = sos.shape[0]
+    D = 2 * k
+    A = np.zeros((D, D))
+    B = np.zeros(D)
+    Vf = np.zeros((k, 2, 2))
+    Vi = np.zeros((k, 2, 2))
+    g = 1.0
+    r = np.zeros(D)
+    for i in range(k):
+        b0, b1, b2, _, a1, a2 = sos[i]
+        i1, i2 = 2 * i, 2 * i + 1
+        c1 = b1 - a1 * b0
+        c2 = b2 - a2 * b0
+        alpha = -a1 * 0.5
+        beta_sq = a2 - alpha * alpha
+        if beta_sq > 1e-12:
+            beta = np.sqrt(beta_sq)
+            a11, a12, a21, a22 = alpha, -beta, beta, alpha
+            bb1, bb2 = c1, -(alpha * c1 + c2) / beta
+            Vf[i] = [[1.0, 0.0], [-alpha, -beta]]
+            Vi[i] = [[1.0, 0.0], [-alpha / beta, -1.0 / beta]]
+        else:
+            a11, a12, a21, a22 = -a1, 1.0, -a2, 0.0
+            bb1, bb2 = c1, c2
+            Vf[i] = np.eye(2)
+            Vi[i] = np.eye(2)
+        A[i1] = bb1 * r
+        A[i1, i1] += a11
+        A[i1, i2] += a12
+        B[i1] = bb1 * g
+        A[i2] = bb2 * r
+        A[i2, i1] += a21
+        A[i2, i2] += a22
+        B[i2] = bb2 * g
+        r = b0 * r
+        r[i1] += 1.0
+        g = b0 * g
+    return A, B, r, g, Vf, Vi
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=256)
+def _host_pack_cached(sos_bytes: bytes, k: int, L: int, dt_name: str):
+    sos_np = np.frombuffer(sos_bytes, np.float64).reshape(k, 6)
+    return _host_pack(sos_np, L, np.dtype(dt_name))
+
+
+def _host_pack(sos_np: np.ndarray, L: int, dt) -> tuple:
+    """All matrices the scan needs, computed in f64, cast to the compute
+    dtype. Returned as a flat tuple pytree (jit-traceable arguments).
+    Cached via _host_pack_cached so repeated calls reuse the same device
+    arrays (no per-call host->device transfers)."""
+    A, B, Crow, dpass, Vf, Vi = _state_space_np(sos_np)
+    with np.errstate(over="ignore", invalid="ignore"):
+        n_lev = max(int(np.log2(L)), 0)
+        levels = []
+        M = A.copy()
+        for _ in range(n_lev):
+            levels.append(M)
+            M = M @ M
+        AL = M  # A^L
+        carry = []
+        M = AL.copy()
+        for _ in range(_CARRY_LEVELS):
+            carry.append(M)
+            M = M @ M
+            # past the decay, powers underflow; keep them at exact zero
+            M[~np.isfinite(M)] = 0.0
+        # A^k table, k = 0..L-1
+        T = np.zeros((L,) + A.shape)
+        T[0] = np.eye(A.shape[0])
+        for k_ in range(1, L):
+            T[k_] = T[k_ - 1] @ A
+        w = np.einsum("j,ljm->lm", Crow, T)
+    # NUMPY outputs only: jnp conversion must happen at the call site so a
+    # traced value is never captured in the lru cache (inside an outer jit
+    # these become per-trace constants; the compat filters are fixed per
+    # static sample_rate, so no retraces result).
+    np_dt = np.dtype(dt.name if hasattr(dt, "name") else dt)
+    cast = lambda a: np.nan_to_num(np.asarray(a, np_dt), nan=0.0,
+                                   posinf=0.0, neginf=0.0)
+    return (cast(np.stack(levels)) if levels
+            else np.zeros((0,) + A.shape, np_dt),
+            cast(np.stack(carry)),
+            cast(T), cast(w), cast(A), cast(B), cast(Crow),
+            np_dt.type(dpass), cast(Vf), cast(Vi))
+
+
+def _carry_prefix_pack(carry_levels, e, c0):
+    NB = e.shape[0]
+    e = e.at[0].add(_ein("jm,m...->j...", carry_levels[0], c0))
+    P = 1 << max(NB - 1, 1).bit_length() if NB > 1 else 1
+    F = jnp.pad(e, [(0, P - NB)] + [(0, 0)] * (e.ndim - 1))
+    s = 1
+    lvl = 0
+    while s < P:
+        Fs = _shift_right(F, s, axis=0)
+        F = F + _ein("jm,bm...->bj...", carry_levels[lvl], Fs)
+        s *= 2
+        lvl += 1
+    F = F[:NB]
+    return jnp.concatenate([c0[None], F[:-1]], axis=0)
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _cascade_ks_pack(x, pack, zi, L, k):
+    """Scan body with host-precomputed matrices. zi may be None."""
+    (levels, carry_levels, T, w, A, B, Crow, dpass, Vf, Vi) = pack
+    dt = x.dtype
+    N = x.shape[0]
+    tr = x.shape[1:]
+    D = 2 * k
+    NB = -(-N // L)
+    xp = jnp.pad(x, [(0, NB * L - N)] + [(0, 0)] * (x.ndim - 1))
+    xb = xp.reshape((NB, L) + tr)
+
+    S = B.reshape((D, 1, 1) + (1,) * len(tr)) * xb[None]
+    shift = 1
+    lvl = 0
+    while shift < L:
+        Ss = _shift_right(S, shift, axis=2)
+        S = S + _ein("jm,m...->j...", levels[lvl], Ss)
+        shift *= 2
+        lvl += 1
+
+    e = jnp.moveaxis(S[:, :, -1], 1, 0)
+    if zi is None:
+        c0 = jnp.zeros((D,) + tr, dt)
+    else:
+        zi_int = _ein("kab,kb...->ka...", Vi,
+                      jnp.moveaxis(zi.astype(dt), -1, 1))
+        c0 = zi_int.reshape((D,) + tr)
+    C = _carry_prefix_pack(carry_levels, e, c0)
+
+    z = _ein("j,jbl...->bl...", Crow, S)
+    zs1 = _shift_right(z, 1, axis=1)
+    corr_y = _ein("lm,bm...->bl...", w, C)
+    y = dpass * xb + corr_y + zs1
+    y = y.reshape((NB * L,) + tr)[:N]
+
+    bi = (N - 1) // L
+    ki = (N - 1) % L
+    sb_last = _ein("jm,m...->j...", T[ki], C[bi])
+    if ki > 0:
+        sb_last = sb_last + S[:, bi, ki - 1]
+    v_last = B.reshape((D,) + (1,) * len(tr)) * xb[bi, ki]
+    s_after_last = _ein("jm,m...->j...", A, sb_last) + v_last
+    st = _ein("kab,kb...->ka...", Vf, s_after_last.reshape((k, 2) + tr))
+    zf = jnp.moveaxis(st, 1, -1)
     return y, zf
 
 
@@ -270,15 +537,24 @@ def sosfilt_scan(sos, x: jax.Array, zi: jax.Array | None = None,
     Returns:
       (y, zf) with zf: [n_sections, ..., 2].
     """
-    sos = jnp.asarray(sos, x.dtype)
-    k = sos.shape[0]
     if axis != 0:
         x = jnp.moveaxis(x, axis, 0)
     L = min(_MAX_BLOCK, _pow2ceil(x.shape[0]))
-    if zi is None:
-        y, zf = _cascade_ks(x, sos, L, int(k))
+    k = int(np.shape(sos)[0])
+    host_known = isinstance(sos, np.ndarray) or (
+        isinstance(sos, jax.Array) and not isinstance(
+            sos, jax.core.Tracer))
+    if host_known:
+        # float64-accurate level matrices, f32 values into the graph
+        sos_np = np.ascontiguousarray(np.asarray(sos, np.float64))
+        pack = _host_pack_cached(sos_np.tobytes(), k, L, x.dtype.name)
+        zi_j = None if zi is None else jnp.asarray(zi, x.dtype)
+        y, zf = _cascade_ks_pack(x, pack, zi_j, L, k)
+    elif zi is None:
+        y, zf = _cascade_ks(x, jnp.asarray(sos, x.dtype), L, k)
     else:
-        y, zf = _cascade_ks_zi(x, sos, jnp.asarray(zi, x.dtype), L, int(k))
+        y, zf = _cascade_ks_zi(x, jnp.asarray(sos, x.dtype),
+                               jnp.asarray(zi, x.dtype), L, k)
     if axis != 0:
         y = jnp.moveaxis(y, 0, axis)
     return y, zf

@@ -137,7 +137,6 @@ def release_scan(u: jax.Array, decay: float | jax.Array) -> jax.Array:
 
     k = jnp.arange(1, L + 1, dtype=u.dtype)
     powers = jnp.exp(k * jnp.log(jnp.maximum(decay, 1e-30)))
-    bshape = (nb, L) + (1,) * (u.ndim - 1)
     corr = powers.reshape((1, L) + (1,) * (u.ndim - 1)) * \
         Cpre.reshape((nb, 1) + u.shape[1:])
     y = jnp.maximum(Y, corr)

@@ -66,6 +66,11 @@ import os as _os
 
 _MAX_BLOCK = int(_os.environ.get("AME_TPU_SCAN_BLOCK", 128))
 
+# Opt-in one-pass Pallas kernel for host-designed multi-section cascades
+# (see ops/pallas_scan.py): 1.4x faster at k=4 and ~1e-7 accurate, but
+# kept off by default until it accumulates soak time.
+_PALLAS_ENABLED = bool(int(_os.environ.get("AME_TPU_PALLAS", "0")))
+
 
 def _pow2ceil(n: int) -> int:
     return 1 << (max(n - 1, 0)).bit_length() if n > 1 else 1
@@ -545,6 +550,16 @@ def sosfilt_scan(sos, x: jax.Array, zi: jax.Array | None = None,
         isinstance(sos, jax.Array) and not isinstance(
             sos, jax.core.Tracer))
     if host_known:
+        if (_PALLAS_ENABLED and zi is None and k >= 2 and x.ndim == 2
+                and not isinstance(x, jax.core.Tracer)):
+            # one-pass Pallas kernel: fastest for multi-section cascades
+            # (k>=2) and ~1e-7 accurate (f64 host matrices, per-block error
+            # scope); opt-in via AME_TPU_PALLAS=1
+            from ame_tpu.ops.pallas_scan import sosfilt_pallas
+            y, zf = sosfilt_pallas(np.asarray(sos, np.float64), x)
+            if axis != 0:
+                y = jnp.moveaxis(y, 0, axis)
+            return y, zf
         # float64-accurate level matrices, f32 values into the graph
         sos_np = np.ascontiguousarray(np.asarray(sos, np.float64))
         pack = _host_pack_cached(sos_np.tobytes(), k, L, x.dtype.name)

@@ -156,6 +156,35 @@ def test_quality_mode_runs_and_hits_lufs():
     assert float(np.max(np.abs(np.asarray(y)))) <= 0.98 + 1e-5
 
 
+def test_fused_matches_staged():
+    """master_graph_fused (single program) must equal the staged graph."""
+    from ame_tpu.graph.chain import master_graph_fused
+    x = make_test_signal("noise", SR, SR) * 0.2
+    s = MasterSettings(bass_boost=2.0, width=1.2, lufs=-14.0,
+                       mode="quality")
+    y1, i1 = master_graph(jnp.asarray(x), SR, s)
+    y2, i2 = master_graph_fused(jnp.asarray(x), SR, s)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               atol=1e-6, rtol=1e-5)
+    assert abs(float(i1["gain_db"]) - float(i2["gain_db"])) < 1e-4
+
+
+def test_n_valid_masks_padding():
+    """Bucket padding must not skew the loudness gate when n_valid is
+    passed (the API path): padded result == unpadded result."""
+    n = SR  # 1 s
+    x = make_test_signal("noise", n, SR, seed=3) * 0.2
+    s = MasterSettings(lufs=-14.0, mode="quality")
+    y_ref, info_ref = master_graph(jnp.asarray(x), SR, s)
+    xp = np.concatenate([x, np.zeros((n // 2, 2), np.float32)])
+    y_pad, info_pad = master_graph(jnp.asarray(xp), SR, s,
+                                   n_valid=jnp.int32(n))
+    assert abs(float(info_pad["gain_db"]) -
+               float(info_ref["gain_db"])) < 1e-3
+    np.testing.assert_allclose(np.asarray(y_pad[:n]), np.asarray(y_ref),
+                               atol=1e-5)
+
+
 def test_settings_dict_contract():
     """Unknown keys ignored; missing keys defaulted (SURVEY.md §2.2)."""
     x = make_test_signal("tone", SR // 2, SR) * 0.3

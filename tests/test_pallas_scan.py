@@ -1,0 +1,44 @@
+"""Pallas one-pass cascade kernel vs the scipy oracle (interpret mode on
+CPU — the same kernel code compiles natively on TPU, validated in the
+on-chip probes; see ROADMAP)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from scipy.signal import sosfilt
+
+from ame_tpu.dsp import design
+from tests.conftest import make_test_signal
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+@pytest.mark.parametrize("sos_fn,kind", [
+    (lambda: design.butter_sos(2, 250.0, "lowpass", fs=44100), "noise"),
+    (lambda: design.reference_peak_band_sos(44100, 1000.0), "sweep"),
+])
+def test_pallas_matches_scipy(sos_fn, kind, monkeypatch):
+    import ame_tpu.ops.pallas_scan as PS
+    monkeypatch.setattr(PS, "_TB", 1024)  # small blocks: fast interpret
+    from ame_tpu.ops.pallas_scan import sosfilt_pallas
+    sos = sos_fn()
+    x = make_test_signal(kind, 3000, 44100) * 0.3  # non-multiple of TB
+    y, zf = sosfilt_pallas(sos, jnp.asarray(x))
+    want = sosfilt(sos, x.astype(np.float64), axis=0)
+    rel = np.linalg.norm(np.asarray(y, np.float64) - want) \
+        / np.linalg.norm(want)
+    assert rel < 1e-5, rel
+    # final state matches scipy's zi convention
+    want_zf = None
+    from scipy.signal import sosfilt_zi
+    y2, want_zf = sosfilt(sos, x.astype(np.float64), axis=0,
+                          zi=np.zeros((sos.shape[0], 2, x.shape[1])))
+    got_zf = np.asarray(zf)  # [k, C, 2]
+    np.testing.assert_allclose(got_zf, np.moveaxis(want_zf, 1, 2),
+                               atol=1e-4, rtol=1e-3)

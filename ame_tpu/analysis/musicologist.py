@@ -27,6 +27,17 @@ from ame_tpu.ops.resample import resample
 
 log = logging.getLogger("ame_tpu.analysis")
 
+_warned_untrained = False
+
+
+def _warn_untrained_once():
+    global _warned_untrained
+    if not _warned_untrained:
+        _warned_untrained = True
+        log.warning("mood CNN running with untrained (seed) weights — "
+                    "train via models/train_mood.py or set "
+                    "AME_TPU_MOOD_WEIGHTS")
+
 ANALYSIS_SR = 22050
 ANALYSIS_SECONDS = 30.0
 
@@ -76,9 +87,7 @@ def analyze_waveform(y: jax.Array) -> dict:
         "density": buckets["density"],
     }
     if not trained:
-        log.warning("mood CNN running with untrained (seed) weights — "
-                    "train via models/train_mood.py or set "
-                    "AME_TPU_MOOD_WEIGHTS")
+        _warn_untrained_once()
     log.info("technical brief: %s", brief)
     return brief
 

@@ -100,8 +100,7 @@ def master_file(input_file: str, output_file: str,
 
     status_callback("Running mastering graph on device...")
     progress_callback(1, total_steps)
-    import jax.numpy as _jnp
-    y, info = master_graph(x, sr, settings, n_valid=_jnp.int32(n))
+    y, info = master_graph(x, sr, settings, n_valid=jnp.int32(n))
     y.block_until_ready()
     y = y[:n]
     progress_callback(num_chunks + 3, total_steps)

@@ -220,9 +220,13 @@ def _carry_prefix(AL, e, c0):
     return jnp.concatenate([c0[None], F[:-1]], axis=0)
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def _cascade_ks(x, sos, L, k):
-    """Blocked Kogge-Stone cascade scan. x: [N, *tr]; sos: [k, 6] traced."""
+@partial(jax.jit, static_argnums=(3, 4))
+def _cascade_ks_traced(x, sos, zi, L, k):
+    """Blocked Kogge-Stone cascade scan with traced (in-graph) matrices.
+
+    x: [N, *tr]; sos: [k, 6] traced; zi: scipy-layout [k, *tr, 2] or None
+    (the None/array distinction is a static pytree structure — two traces).
+    """
     dt = x.dtype
     N = x.shape[0]
     tr = x.shape[1:]
@@ -246,7 +250,14 @@ def _cascade_ks(x, sos, L, k):
 
     # -- carry across blocks: c[b] = state BEFORE block b -------------------
     e = jnp.moveaxis(S[:, :, -1], 1, 0)  # [NB, D, *tr]
-    c0 = jnp.zeros((D,) + tr, dt)
+    if zi is None:
+        c0 = jnp.zeros((D,) + tr, dt)
+    else:
+        # scipy TDF-II zi -> internal (coupled) state
+        Vi, _ = _zi_transforms(sos, dt)
+        zi_int = _ein("kab,kb...->ka...", Vi,
+                      jnp.moveaxis(zi.astype(dt), -1, 1))
+        c0 = zi_int.reshape((D,) + tr)
     C = _carry_prefix(AL, e, c0)  # [NB, D, *tr]
 
     # -- 𝔸^k table, k = 0..L-1 ---------------------------------------------
@@ -261,7 +272,7 @@ def _cascade_ks(x, sos, L, k):
         T = _ein("lij,ljk->lik", T, Ts)
         shift *= 2
 
-    # -- output: y[b,k] = d*x + Crow·(𝔸^k c[b] + shift1(S)[b,k]) -------------
+    # -- output: y[b,k] = d*x + Crow·(𝔸^k c[b] + shift1(S)[b,k]) ------------
     # Precontract Crow with the 𝔸^k table (w[k] = Crowᵀ 𝔸^k, [L, D]) and
     # with S (z = Crow·S, [NB, L, *tr]) so no [D, N]-sized intermediate is
     # ever materialized — the carry correction costs one [L,D]x[NB,D] matmul.
@@ -281,70 +292,6 @@ def _cascade_ks(x, sos, L, k):
     v_last = B.reshape((D,) + (1,) * len(tr)) * xb[bi, ki]
     s_after_last = _ein("jm,m...->j...", A, sb_last) + v_last
     # internal (coupled) state -> scipy TDF-II zi layout [k, *tr, 2]
-    _, Vf = _zi_transforms(sos, dt)
-    st = _ein("kab,kb...->ka...", Vf, s_after_last.reshape((k, 2) + tr))
-    zf = jnp.moveaxis(st, 1, -1)
-    return y, zf
-
-
-@partial(jax.jit, static_argnums=(3, 4))
-def _cascade_ks_zi(x, sos, zi, L, k):
-    """As _cascade_ks but honoring an initial state zi [k, *tr, 2].
-
-    Implemented by injecting the zi contribution into the first block's
-    carry: rerun of the carry scan with c0 = zi (cheap — the expensive
-    within-block scan is shared logic, so just inline the same body)."""
-    dt = x.dtype
-    N = x.shape[0]
-    tr = x.shape[1:]
-    D = 2 * k
-    NB = -(-N // L)
-    xp = jnp.pad(x, [(0, NB * L - N)] + [(0, 0)] * (x.ndim - 1))
-    xb = xp.reshape((NB, L) + tr)
-
-    A, B, Crow, dpass = _cascade_state_space(sos, dt)
-    S = B.reshape((D, 1, 1) + (1,) * len(tr)) * xb[None]
-    Al = A
-    shift = 1
-    while shift < L:
-        Ss = _shift_right(S, shift, axis=2)
-        S = S + _ein("jm,m...->j...", Al, Ss)
-        Al = _mm(Al, Al)
-        shift *= 2
-    AL = Al
-
-    e = jnp.moveaxis(S[:, :, -1], 1, 0)
-    # scipy TDF-II zi -> internal (coupled) state
-    Vi, _ = _zi_transforms(sos, dt)
-    zi_int = _ein("kab,kb...->ka...", Vi,
-                  jnp.moveaxis(zi.astype(dt), -1, 1))
-    c0 = zi_int.reshape((D,) + tr)
-    C = _carry_prefix(AL, e, c0)
-
-    eye = jnp.eye(D, dtype=dt)
-    T = jnp.where((jnp.arange(L) == 0)[:, None, None], eye[None], A[None])
-    shift = 1
-    while shift < L:
-        Ts = jnp.concatenate(
-            [jnp.broadcast_to(eye[None], (shift, D, D)), T[:L - shift]],
-            axis=0)
-        T = _ein("lij,ljk->lik", T, Ts)
-        shift *= 2
-
-    w = _ein("j,ljm->lm", Crow, T)
-    z = _ein("j,jbl...->bl...", Crow, S)
-    zs1 = _shift_right(z, 1, axis=1)
-    corr_y = _ein("lm,bm...->bl...", w, C)
-    y = dpass * xb + corr_y + zs1
-    y = y.reshape((NB * L,) + tr)[:N]
-
-    bi = (N - 1) // L
-    ki = (N - 1) % L
-    sb_last = _ein("jm,m...->j...", T[ki], C[bi])
-    if ki > 0:
-        sb_last = sb_last + S[:, bi, ki - 1]
-    v_last = B.reshape((D,) + (1,) * len(tr)) * xb[bi, ki]
-    s_after_last = _ein("jm,m...->j...", A, sb_last) + v_last
     _, Vf = _zi_transforms(sos, dt)
     st = _ein("kab,kb...->ka...", Vf, s_after_last.reshape((k, 2) + tr))
     zf = jnp.moveaxis(st, 1, -1)
@@ -565,11 +512,9 @@ def sosfilt_scan(sos, x: jax.Array, zi: jax.Array | None = None,
         pack = _host_pack_cached(sos_np.tobytes(), k, L, x.dtype.name)
         zi_j = None if zi is None else jnp.asarray(zi, x.dtype)
         y, zf = _cascade_ks_pack(x, pack, zi_j, L, k)
-    elif zi is None:
-        y, zf = _cascade_ks(x, jnp.asarray(sos, x.dtype), L, k)
     else:
-        y, zf = _cascade_ks_zi(x, jnp.asarray(sos, x.dtype),
-                               jnp.asarray(zi, x.dtype), L, k)
+        zi_j = None if zi is None else jnp.asarray(zi, x.dtype)
+        y, zf = _cascade_ks_traced(x, jnp.asarray(sos, x.dtype), zi_j, L, k)
     if axis != 0:
         y = jnp.moveaxis(y, 0, axis)
     return y, zf

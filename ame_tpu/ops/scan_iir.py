@@ -21,9 +21,20 @@ Two key structural choices, both driven by compile time and HBM traffic:
    time, level l of the scan is
         S <- S + 𝔸^(2^l) · shift(S, 2^l)
    with 𝔸^(2^l) a [D, D] *scalar* matrix (einsum per level; ~4 XLA ops per
-   level). The scan is blocked (L = 2^16 within-block, vectorized across
-   all blocks; a tiny lax.scan carries block boundary states; an in-graph
-   𝔸^k table applies the carry), so graph size is INDEPENDENT of N.
+   level). The scan is blocked (L = 128 within-block by default — each
+   level is a pass over the big state arrays, so small L wins; swept on
+   v5e, see _MAX_BLOCK). The block-boundary carry is ITSELF a parallel
+   Kogge-Stone prefix over N/L elements (_carry_prefix), and an in-graph
+   𝔸^k table applies it — graph size is INDEPENDENT of N.
+
+Three execution paths, chosen in ``sosfilt_scan``:
+  * traced coefficients (quality mode's gain-dependent RBJ filters):
+    in-graph matrices (_cascade_ks_traced);
+  * host-designed numpy coefficients: float64-precomputed matrices enter
+    as values (_cascade_ks_pack) — stable even for the reference's
+    near-defective Nyquist-clamped filters;
+  * AME_TPU_PALLAS=1 + host-known k>=2: the one-pass Pallas kernel
+    (ops/pallas_scan.py).
 
 Per-section state convention matches ``scipy.signal.sosfilt``'s ``zi``
 exactly; coefficients/zi are traced arguments, so one compile per input

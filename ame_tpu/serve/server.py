@@ -35,7 +35,13 @@ log = logging.getLogger("ame_tpu.serve")
 
 
 class JobStore:
-    """In-memory job/state registry + on-disk blobs."""
+    """Job/state registry + on-disk blobs.
+
+    Jobs persist to ``jobs.json`` in the workdir (the manifest pattern of
+    parallel/fleet): a restarted server reloads job states, and jobs that
+    were mid-flight when the process died are REQUEUED (their uploads are
+    still on disk) — the serving tier's checkpoint/resume story
+    (SURVEY.md §5.4, where the reference has none)."""
 
     def __init__(self, workdir: str):
         self.workdir = workdir
@@ -46,6 +52,39 @@ class JobStore:
         self.lock = threading.Lock()
         self.jobs: dict[str, dict] = {}   # output name -> state
         self.queue: "queue.Queue[tuple[str, dict]]" = queue.Queue()
+        self._jobs_path = os.path.join(workdir, "jobs.json")
+        self._load_jobs()
+
+    def _load_jobs(self) -> None:
+        if not os.path.exists(self._jobs_path):
+            return
+        try:
+            with open(self._jobs_path) as f:
+                self.jobs = json.load(f)
+        except Exception:
+            log.exception("could not load persisted jobs; starting fresh")
+            return
+        for name, state in self.jobs.items():
+            if state.get("status") == "processing":
+                settings = state.get("settings")
+                if settings and os.path.exists(
+                        settings.get("input_file", "")):
+                    log.info("requeueing interrupted job %s", name)
+                    state["messages"] = state.get("messages", [])
+                    self.queue.put((name, settings))
+                else:
+                    state["status"] = "error"
+                    state["error"] = "interrupted; input lost"
+
+    def persist(self) -> None:
+        tmp = self._jobs_path + ".tmp"
+        with self.lock:
+            snapshot = json.dumps(self.jobs, default=str, indent=1)
+        with open(tmp, "w") as f:
+            f.write(snapshot)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._jobs_path)
 
     def new_upload(self, filename: str) -> tuple[str, str]:
         blob_id = f"{uuid.uuid4().hex}_{os.path.basename(filename)}"
@@ -90,6 +129,7 @@ def _worker_loop(store: JobStore):
             state["status"] = "error"
             state["error"] = str(e)
         finally:
+            store.persist()
             store.queue.task_done()
 
 
@@ -143,7 +183,9 @@ class Handler(BaseHTTPRequestHandler):
                     self.store.jobs[out_name] = {
                         "status": "processing", "messages": [],
                         "progress": [0, 1], "tag": "", "art_file": None,
+                        "settings": settings,
                     }
+                self.store.persist()
                 self.store.queue.put((out_name, settings))
                 self._json(200, {"processed_filename": out_name,
                                  "image_filename": art_name})

@@ -90,3 +90,48 @@ def test_web_ui_served(server):
 
 def test_healthz(server):
     assert _get(server, "/healthz") == {"ok": True}
+
+
+def test_job_persistence_and_requeue(tmp_path):
+    """Jobs survive a server restart: done stays done; a job that was
+    mid-flight (processing) gets requeued and completes."""
+    from ame_tpu.serve.server import JobStore, _worker_loop
+    import threading as th
+
+    workdir = str(tmp_path / "srv")
+    store = JobStore(workdir)
+    # a finished job
+    store.jobs["done_mastered.wav"] = {"status": "done", "messages": [],
+                                       "progress": [5, 5], "tag": "",
+                                       "art_file": None}
+    # an interrupted job whose input still exists
+    x = make_test_signal("noise", 4096, 44100) * 0.2
+    up = store.upload_path("abc_in.wav")
+    write_wav(up, x, 44100)
+    out = store.output_path("in_mastered.wav")
+    store.jobs["in_mastered.wav"] = {
+        "status": "processing", "messages": [], "progress": [1, 5],
+        "tag": "", "art_file": None,
+        "settings": {"input_file": up, "output_file": out,
+                     "lufs": None, "create_mp3": False}}
+    # an interrupted job whose input is GONE
+    store.jobs["lost_mastered.wav"] = {
+        "status": "processing", "messages": [], "progress": [1, 5],
+        "tag": "", "art_file": None,
+        "settings": {"input_file": str(tmp_path / "gone.wav"),
+                     "output_file": "x"}}
+    store.persist()
+
+    # "restart"
+    store2 = JobStore(workdir)
+    assert store2.jobs["done_mastered.wav"]["status"] == "done"
+    assert store2.jobs["lost_mastered.wav"]["status"] == "error"
+    assert store2.queue.qsize() == 1  # the recoverable job requeued
+    th.Thread(target=_worker_loop, args=(store2,), daemon=True).start()
+    deadline = time.time() + 240
+    while (time.time() < deadline
+           and store2.jobs["in_mastered.wav"]["status"] == "processing"):
+        time.sleep(0.3)
+    assert store2.jobs["in_mastered.wav"]["status"] == "done"
+    import os
+    assert os.path.exists(out)

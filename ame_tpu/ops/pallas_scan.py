@@ -37,7 +37,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TB = int(__import__("os").environ.get("AME_TPU_PALLAS_TB", 1 << 14))  # block samples (1<<16 exceeds VMEM at DC=16)
+# Swept on v5e at 8.4M samples: k=4 cascade is ~21.5 ms at TB 4096/16384
+# alike; smaller TB helps small-k cases and halves VMEM. 1<<16 exceeds
+# VMEM at DC=16.
+_TB = int(__import__("os").environ.get("AME_TPU_PALLAS_TB", 1 << 12))
 
 
 def _kernel(levels_ref, Ak_ref, Bcol_ref, Crowk_ref, x_ref, o_ref, zf_ref,

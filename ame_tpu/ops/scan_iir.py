@@ -508,11 +508,12 @@ def sosfilt_scan(sos, x: jax.Array, zi: jax.Array | None = None,
         isinstance(sos, jax.Array) and not isinstance(
             sos, jax.core.Tracer))
     if host_known:
-        if (_PALLAS_ENABLED and zi is None and k >= 2 and x.ndim == 2
+        if (_PALLAS_ENABLED and zi is None and k >= 3 and x.ndim == 2
                 and not isinstance(x, jax.core.Tracer)):
-            # one-pass Pallas kernel: fastest for multi-section cascades
-            # (k>=2) and ~1e-7 accurate (f64 host matrices, per-block error
-            # scope); opt-in via AME_TPU_PALLAS=1
+            # one-pass Pallas kernel: measured 1.5x over XLA for k=4
+            # cascades (k<=2 is faster on the XLA path - VMEM level passes
+            # dominate at small state dims) and ~1e-7 accurate; opt-in via
+            # AME_TPU_PALLAS=1
             from ame_tpu.ops.pallas_scan import sosfilt_pallas
             y, zf = sosfilt_pallas(np.asarray(sos, np.float64), x)
             if axis != 0:

@@ -361,6 +361,9 @@ bool decode_subframe(BitReader& br, int blocksize, int bps,
     while (br.bits(1) == 0 && !br.error) wasted++;
   }
   bps -= wasted;
+  // A hostile wasted-bits run can exhaust (or exceed) the sample size;
+  // bits()/sbits() with n <= 0 or n > 33 is undefined, so reject here.
+  if (bps < 1 || bps > 33) return false;
   out.assign(blocksize, 0);
   if (type == 0) {  // CONSTANT
     int64_t v = br.sbits(bps);
@@ -369,6 +372,10 @@ bool decode_subframe(BitReader& br, int blocksize, int bps,
     for (int i = 0; i < blocksize; ++i) out[i] = br.sbits(bps);
   } else if (type >= 8 && type <= 12) {  // FIXED
     int order = type - 8;
+    // The predictor order must leave room for at least one residual sample
+    // (order >= blocksize would write warm-up past `out` and make
+    // decode_residual size the residual vector with a negative count).
+    if (order >= blocksize) return false;
     for (int i = 0; i < order; ++i) out[i] = br.sbits(bps);
     std::vector<int64_t> res;
     if (!decode_residual(br, blocksize, order, res)) return false;
@@ -380,6 +387,7 @@ bool decode_subframe(BitReader& br, int blocksize, int bps,
     }
   } else if (type >= 32) {  // LPC
     int order = (type & 31) + 1;
+    if (order >= blocksize) return false;  // same bound as FIXED above
     for (int i = 0; i < order; ++i) out[i] = br.sbits(bps);
     int prec = br.bits(4) + 1;
     if (prec == 16) return false;  // 1111 invalid
@@ -488,14 +496,15 @@ extern "C" int ame_flac_decode(const char* path, float** out, long* n_frames,
     if (ch_asgn <= 7) {
       nch = ch_asgn + 1;
       if (nch != si_channels) continue;  // corrupt header
-    } else if (ch_asgn == 8) {
-      left_side = true;
-      nch = 2;
-    } else if (ch_asgn == 9) {
-      right_side = true;
-      nch = 2;
-    } else if (ch_asgn == 10) {
-      mid_side = true;
+    } else if (ch_asgn >= 8 && ch_asgn <= 10) {
+      // Stereo decorrelation modes are only valid for 2-channel streams;
+      // accepting them against a mono STREAMINFO would write through the
+      // nonexistent ch[1]/pcm[1]. Treat as a corrupt header, like the
+      // independent-channel mismatch above.
+      if (si_channels != 2) continue;
+      left_side = ch_asgn == 8;
+      right_side = ch_asgn == 9;
+      mid_side = ch_asgn == 10;
       nch = 2;
     } else {
       continue;

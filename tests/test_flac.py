@@ -131,6 +131,97 @@ def test_flac_subframe_kinds(tmp_path, kind):
                                atol=1e-7)
 
 
+def test_flac_stereo_decorrelation_rejected_for_mono(tmp_path):
+    """A mono STREAMINFO with a left/side stereo frame used to write through
+    the nonexistent ch[1] (out-of-bounds, SIGSEGV). The frame must now be
+    rejected as corrupt — an error return, never a crash."""
+    bw = BitWriter()
+    _frame_header(bw, 1, 8, 0)  # ch_asgn 8 = left/side
+    for bits in (16, 17):
+        bw.w(0, 1)
+        bw.w(0, 6)  # CONSTANT
+        bw.w(0, 1)
+        bw.sw(1000, bits)
+    bw.align()
+    bw.w(0, 16)
+    blob = _flac_file([bw.bytes()], channels=1, total=192)
+    p = tmp_path / "mono_stereo.flac"
+    p.write_bytes(blob)
+    from ame_tpu.io.flac import read_flac
+    with pytest.raises(RuntimeError):
+        read_flac(str(p))
+
+
+def test_flac_lpc_order_exceeds_blocksize(tmp_path):
+    """LPC order 32 against blocksize 1 (8-bit blocksize code): the warm-up
+    used to write `order` samples into a `blocksize`-sized buffer. Must be
+    rejected, not crash."""
+    bw = BitWriter()
+    bw.w(0x3FFE, 14)
+    bw.w(0, 1)
+    bw.w(0, 1)
+    bw.w(6, 4)   # blocksize: 8-bit field follows the frame number
+    bw.w(0, 4)   # rate from STREAMINFO
+    bw.w(1, 4)   # 2ch independent
+    bw.w(4, 3)   # 16-bit
+    bw.w(0, 1)
+    bw.w(0, 8)   # frame number (UTF-8 single byte)
+    bw.w(0, 8)   # blocksize-1 = 0 -> blocksize 1
+    bw.w(0, 8)   # CRC-8 (skipped)
+    bw.w(0, 1)
+    bw.w(63, 6)  # LPC order 32
+    bw.w(0, 1)
+    for _ in range(40):
+        bw.sw(0, 16)  # bytes the decoder must never interpret as warm-up
+    bw.align()
+    blob = _flac_file([bw.bytes()], total=1)
+    p = tmp_path / "lpc_order.flac"
+    p.write_bytes(blob)
+    from ame_tpu.io.flac import read_flac
+    with pytest.raises(RuntimeError):
+        read_flac(str(p))
+
+
+def test_flac_wasted_bits_exhaust_sample_size(tmp_path):
+    """A wasted-bits run longer than the sample size drives bps <= 0; the
+    subframe must be rejected before any bits() call with n < 1."""
+    bw = BitWriter()
+    _frame_header(bw, 1, 1, 0)
+    bw.w(0, 1)
+    bw.w(0, 6)   # CONSTANT
+    bw.w(1, 1)   # wasted-bits flag
+    bw.w(0, 20)  # 20 zeros -> wasted = 21 > bps 16
+    bw.w(1, 1)
+    bw.sw(0, 16)
+    bw.align()
+    blob = _flac_file([bw.bytes()], total=192)
+    p = tmp_path / "wasted.flac"
+    p.write_bytes(blob)
+    from ame_tpu.io.flac import read_flac
+    with pytest.raises(RuntimeError):
+        read_flac(str(p))
+
+
+def test_flac_fuzz_no_crash(tmp_path):
+    """Deterministic garbage after a valid STREAMINFO: every input must
+    either decode or raise — the decoder is reachable in-process from the
+    serve tier's upload path, so a crash here is a server crash."""
+    rng = np.random.default_rng(0xF1AC)
+    from ame_tpu.io.flac import read_flac
+    for i in range(200):
+        channels = int(rng.integers(1, 9))
+        si = _streaminfo(44100, channels, 16, int(rng.integers(0, 10000)))
+        blob = (b"fLaC" + bytes([0x80]) + struct.pack(">I", len(si))[1:] + si
+                + rng.integers(0, 256, size=int(rng.integers(16, 4096)),
+                               dtype=np.uint8).tobytes())
+        p = tmp_path / f"fuzz{i}.flac"
+        p.write_bytes(blob)
+        try:
+            read_flac(str(p))
+        except RuntimeError:
+            pass
+
+
 def test_flac_mid_side_and_fixed2(tmp_path):
     """Mid/side stereo decorrelation + FIXED order-2 predictor."""
     n = 192

@@ -115,22 +115,16 @@ def _stage_multiband_quality(x, threshs, ratios, sample_rate):
 # Graph driver
 # ---------------------------------------------------------------------------
 
-# The exact pydub gain recurrence is a sample-sequential lax.scan; above
-# this many samples it is disproportionately slow and has crashed the
-# TPU runtime (8.4M-step scan), so long tracks fall back to the bounded
-# clamp-approximation (ops/compressor.py docstring) until the sequential
-# Pallas kernel lands (ROADMAP.md item 3).
-_EXACT_COMPRESSOR_MAX = int(
-    __import__("os").environ.get("AME_TPU_COMPAT_EXACT_MAX", 1 << 21))
-
-
 def _master_compat(x, sample_rate, p, *, analog_on, width_on, multiband_on,
                    lufs_on, chunked, comp_exact=None, n_valid=None):
     chunk_len = int(C.COMPAT_CHUNK_SECONDS * sample_rate) if chunked else None
     info = {}
     if comp_exact is None:
-        seq_len = chunk_len if chunked else x.shape[0]
-        comp_exact = seq_len <= _EXACT_COMPRESSOR_MAX
+        # Exact pydub gain semantics at ANY length: short inputs run the
+        # proven lax.scan, long unchunked tracks the two-pass Pallas
+        # kernel (ops/pydub_gain). Pass comp_exact=False explicitly for
+        # the throughput-first clamp approximation (ops/compressor.py).
+        comp_exact = True
     if analog_on:  # engine:192
         x = _stage_analog_compat(x, p["analog"], sample_rate, chunk_len)
     # engine:194-196

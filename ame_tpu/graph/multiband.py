@@ -9,6 +9,8 @@ all-associative quality compressor.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -36,8 +38,13 @@ def _crossover_compat(x, sample_rate, chunk_len=None):
 def _compress_band(band_float, sample_rate, thresh, ratio, exact, chunk_len):
     """Quantize to int16 (Q5) then pydub-compress; returns int16-valued."""
     band_int = quantize.float_to_int16(band_float)
-    fn = (compressor.pydub_compress_exact if exact
-          else compressor.pydub_compress_fast)
+    if exact:
+        # chunked exact runs under vmap below -> pin the scan gain path
+        # (pallas_call has no batching rule)
+        fn = partial(compressor.pydub_compress_exact,
+                     force_scan=chunk_len is not None)
+    else:
+        fn = compressor.pydub_compress_fast
     if chunk_len is None:
         return fn(band_int, sample_rate, thresh, ratio)
     n = band_int.shape[0]
@@ -50,15 +57,23 @@ def _compress_band(band_float, sample_rate, thresh, ratio, exact, chunk_len):
 
 
 def multiband_compat(x: jax.Array, sample_rate: float, threshs: jax.Array,
-                     ratios: jax.Array, exact: bool = False,
+                     ratios: jax.Array, exact: bool = True,
                      chunk_len: int | None = None) -> jax.Array:
     """x: [N, 2] float (int16-grid values, as the reference receives from an
     AudioSegment). Returns float in int16 grid (value/32768)."""
     low, mid, high = _crossover_compat(x, sample_rate, chunk_len)
-    outs = []
-    for i, band in enumerate((low, mid, high)):
-        outs.append(_compress_band(band, sample_rate, threshs[i], ratios[i],
-                                   exact, chunk_len))
+    if exact and chunk_len is None:
+        # one batched gain pass for all 3 bands (exact at any length)
+        band_ints = [quantize.float_to_int16(b) for b in (low, mid, high)]
+        outs = compressor.pydub_compress_exact_multi(
+            band_ints, sample_rate,
+            [threshs[0], threshs[1], threshs[2]],
+            [ratios[0], ratios[1], ratios[2]])
+    else:
+        outs = []
+        for i, band in enumerate((low, mid, high)):
+            outs.append(_compress_band(band, sample_rate, threshs[i],
+                                       ratios[i], exact, chunk_len))
     acc = quantize.saturating_add_int16(outs[0], outs[1])
     acc = quantize.saturating_add_int16(acc, outs[2])  # quirk Q7
     return acc * (1.0 / 32768.0)

@@ -4,10 +4,12 @@ Replaces pydub ``compress_dynamic_range`` + the reference's 3-band wiring
 (audio_mastering_engine.py:299-309 — SURVEY.md C10/N7). Three device paths:
 
 1. ``pydub_compress_exact`` — bit-faithful pydub semantics, including its
-   quirks, as a sequential ``lax.scan`` over samples. The detector
-   (windowed integer RMS) is fully parallel; only the 1-D gain recurrence is
-   sequential. Used for golden parity tests and available as a compat flag;
-   too slow for the hot path on very long tracks.
+   quirks, at ANY track length. The detector (windowed integer RMS) is
+   fully parallel; the 1-D gain recurrence runs through ops/pydub_gain's
+   two-pass exact TPU kernel (sequential SMEM walk + parallel block
+   re-run; lax.scan for short inputs / CPU). This is compat mode's
+   default compressor. ``pydub_compress_exact_multi`` batches the three
+   bands into one gain-kernel pass.
 
 2. ``pydub_compress_fast`` — same detector, with the gain recurrence
    recast as an associative scan over *clamped-accumulator* maps
@@ -99,39 +101,41 @@ def _apply_attenuation_int(x_int: jax.Array, att_db: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# 1. Exact sequential path
+# 1. Exact path (any length — ops/pydub_gain two-pass kernel on TPU)
 # ---------------------------------------------------------------------------
-
-@partial(jax.jit, static_argnums=(1,))
-def _pydub_gain_seq(inputs, frames):
-    """attenuation recurrence via lax.scan (exact)."""
-    above, max_att = inputs
-    attack_frames, release_frames = frames
-
-    def step(att, inp):
-        ab, m = inp
-        inc = m / attack_frames
-        dec = m / release_frames
-        attacking = ab & (att <= m)
-        att_new = jnp.where(attacking,
-                            jnp.minimum(att + inc, m),
-                            jnp.maximum(att - dec, 0.0))
-        return att_new, att_new
-
-    _, att = jax.lax.scan(step, jnp.float32(0.0), (above, max_att))
-    return att
-
+# The branchy recurrence folds to a pure function of max_att because
+# max_att == 0 exactly whenever rms <= thresh (the release decrement is then
+# 0, reproducing pydub's below-threshold freeze) — see ops/pydub_gain.
 
 def pydub_compress_exact(x_int: jax.Array, sample_rate: float, threshold_db,
                          ratio, attack_ms: float = 5.0,
-                         release_ms: float = 50.0) -> jax.Array:
-    rms, max_att, thresh_rms = pydub_detector(
+                         release_ms: float = 50.0,
+                         force_scan: bool = False) -> jax.Array:
+    from ame_tpu.ops.pydub_gain import pydub_gain_multi
+    _, max_att, _ = pydub_detector(
         x_int, sample_rate, threshold_db, ratio, attack_ms)
-    attack_frames = attack_ms * sample_rate / 1000.0
-    release_frames = release_ms * sample_rate / 1000.0
-    att = _pydub_gain_seq((rms > thresh_rms, max_att),
-                          (attack_frames, release_frames))
+    (att,) = pydub_gain_multi([max_att], attack_ms * sample_rate / 1000.0,
+                              release_ms * sample_rate / 1000.0,
+                              force_scan=force_scan)
     return _apply_attenuation_int(x_int, att)
+
+
+def pydub_compress_exact_multi(bands, sample_rate: float, threshs, ratios,
+                               attack_ms: float = 5.0,
+                               release_ms: float = 50.0):
+    """Compress G bands exactly in ONE gain-kernel pass: the sequential
+    pass-1 walk interleaves the G independent chains, so 3 bands cost the
+    wall time of 1 (ops/pydub_gain). bands: list of [N, C]; returns list."""
+    from ame_tpu.ops.pydub_gain import pydub_gain_multi
+    ms = []
+    for i, band in enumerate(bands):
+        _, max_att, _ = pydub_detector(band, sample_rate, threshs[i],
+                                       ratios[i], attack_ms)
+        ms.append(max_att)
+    atts = pydub_gain_multi(ms, attack_ms * sample_rate / 1000.0,
+                            release_ms * sample_rate / 1000.0)
+    return [_apply_attenuation_int(bands[g], atts[g])
+            for g in range(len(bands))]
 
 
 # ---------------------------------------------------------------------------

@@ -107,3 +107,42 @@ def test_multiband_oracle_vs_device():
     assert np.median(diff) <= 1.0
     assert diff.max() <= 96, diff.max()
     assert (diff > 4).mean() < 0.05
+
+
+def test_two_pass_gain_matches_scan():
+    """The two-pass (Pallas pass-1 + vectorized pass-2) gain kernel must
+    reproduce the sequential scan exactly — including across block
+    boundaries and an odd-length tail (checked here via the Pallas
+    interpreter; the TPU path runs the same program)."""
+    from ame_tpu.ops import pydub_gain as pg
+    rng = np.random.default_rng(7)
+    n = 3 * pg._TB + 517
+    m = np.maximum(rng.normal(1.0, 3.0, (n, 3)), 0.0).astype(np.float32)
+    m[rng.random((n, 3)) < 0.6] = 0.0  # below-threshold freeze stretches
+    scal = jnp.asarray([[1.0 / 220.5, 1.0 / 2205.0]], jnp.float32)
+    want = np.asarray(pg._gain_scan(jnp.asarray(m), scal))
+    got = np.asarray(pg.pydub_gain(jnp.asarray(m), 220.5, 2205.0,
+                                   interpret=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=0)
+    assert np.median(np.abs(got - want)) == 0.0
+
+    # 1-D input path
+    got1 = np.asarray(pg.pydub_gain(jnp.asarray(m[:, 0]), 220.5, 2205.0,
+                                    interpret=True))
+    np.testing.assert_allclose(got1, want[:, 0], atol=1e-5, rtol=0)
+
+
+def test_exact_multi_matches_per_band():
+    """The batched 3-band exact compressor equals three independent
+    exact calls."""
+    x = _program(n=SR // 2)
+    x_int = jnp.asarray(oracles.float_to_int16(x).astype(np.float32))
+    bands = [x_int, x_int * 0.5, x_int * 0.25]
+    threshs = [-20.0, -25.0, -15.0]
+    ratios = [4.0, 6.0, 3.0]
+    multi = compressor.pydub_compress_exact_multi(
+        bands, SR, threshs, ratios)
+    for b, t, r, got in zip(bands, threshs, ratios, multi):
+        want = compressor.pydub_compress_exact(b, SR, t, r)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

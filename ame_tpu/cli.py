@@ -17,9 +17,11 @@ import sys
 
 
 def _add_master_args(p: argparse.ArgumentParser) -> None:
+    from ame_tpu.presets import EQ_PRESETS  # pure data, no heavy imports
     p.add_argument("input")
     p.add_argument("output")
-    p.add_argument("--preset", choices=[], default=None, help="EQ preset")
+    p.add_argument("--preset", choices=list(EQ_PRESETS), default=None,
+                   help="EQ preset")
     p.add_argument("--analog-character", type=float, default=0.0)
     p.add_argument("--bass", type=float, default=0.0, dest="bass_boost")
     p.add_argument("--mid-cut", type=float, default=0.0, dest="mid_cut")
@@ -100,10 +102,6 @@ def main(argv=None) -> int:
 
     pm = sub.add_parser("master", help="master an audio file")
     _add_master_args(pm)
-    from ame_tpu.presets import EQ_PRESETS
-    for a in pm._actions:  # populate preset choices late
-        if a.dest == "preset":
-            a.choices = list(EQ_PRESETS)
 
     pa = sub.add_parser("analyze", help="Musicologist technical brief")
     pa.add_argument("input")

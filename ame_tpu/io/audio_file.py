@@ -1,8 +1,8 @@
 """Format dispatch: one entry point per direction, like the reference's
 "AudioSegment.from_file / export" surface but without subprocesses.
 
-Supported: WAV, AIFF (pure numpy), MP3 (native shim). FLAC decode lands via
-the native shim's next revision; until then a clear error is raised.
+Supported: WAV, AIFF (pure numpy), MP3 (native shim), FLAC (self-contained
+bitstream decoder in the native shim — io/flac.py, amecodec.cpp).
 Input conditioning reproduces engine:190-191: mono -> stereo duplication and
 16-bit-equivalent float semantics are applied by the pipeline, not here.
 """

@@ -109,14 +109,6 @@ def apply_eq_compat(x: jax.Array, sample_rate: float, bass_db, mid_cut_db,
 # Quality mode: true shelving / peaking EQ
 # ---------------------------------------------------------------------------
 
-def _dynamic_gain_biquad(x, make_sos_at_unit_gains, gain_db):
-    """Placeholder-free approach: quality EQ biquad coefficients depend on
-    gain, which is dynamic. We design at trace time only when gain is a
-    python float; for traced gains we fall back to a parameterized design
-    in jnp (RBJ formulas are closed-form, so they trace fine)."""
-    raise NotImplementedError
-
-
 def _rbj_shelf_coeffs_jnp(f0, fs, gain_db, q, kind):
     """RBJ low/high shelf with *traced* gain (closed-form in jnp, f32)."""
     A = 10.0 ** (gain_db / 40.0)

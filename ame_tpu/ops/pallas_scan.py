@@ -151,30 +151,17 @@ def sosfilt_pallas(sos_np: np.ndarray, x: jax.Array):
     f32 = lambda a: jnp.asarray(np.nan_to_num(a, posinf=0.0, neginf=0.0),
                                 jnp.float32)
     n_pad = -(-n // _TB) * _TB
-    x_t = jnp.pad(x, ((0, n_pad - n), (0, 0))).T  # [C, n_pad]
+    # Pad at the FRONT: zero state through leading zero input stays exactly
+    # zero, so the carry out of the last block IS the state after the last
+    # real sample — no inversion of the (exponentially ill-conditioned)
+    # A^pad needed, unlike trailing padding.
+    x_t = jnp.pad(x, ((n_pad - n, 0), (0, 0))).T  # [C, n_pad]
     y_t, zf_col = _pallas_cascade(x_t, f32(np.stack(levels)), f32(Ak),
                                   f32(Bcol), f32(Crowk), DC, int(C),
                                   float(dpass))
-    # zf_col is the state after the last PADDED sample; with zero padding
-    # the state at N-1 evolved under A for (n_pad - n) extra zero-input
-    # steps, so undo: zf_true = A^-(pad) zf... A is not always invertible;
-    # instead recompute exactly: state(N-1) = A^(pad)^-1 unavailable -> we
-    # simply re-derive from the unpadded tail when pad > 0.
-    if n_pad != n:
-        pad = n_pad - n
-        # state evolves under zero input: s(N-1+p) = A^p s(N-1). Solve by
-        # multiplying with the f64 host inverse-free approach: precompute
-        # A^p once (p < _TB) and refuse if singular-to-f32; fall back to
-        # returning the padded-evolution state (documented) otherwise.
-        Ap = np.linalg.matrix_power(np.kron(A, eye), pad)
-        try:
-            Ap_inv = np.linalg.solve(Ap, np.eye(DC))
-            zf_col = jnp.asarray(Ap_inv.astype(np.float32)) @ zf_col
-        except np.linalg.LinAlgError:
-            pass
     zf_int = zf_col.reshape(D, C)  # d-major rows
     Vf64 = Vf  # [k, 2, 2]
     zf = jnp.einsum("kab,kbc->kca",
                     jnp.asarray(Vf64, jnp.float32),
                     zf_int.reshape(k, 2, C))
-    return y_t.T[:n], zf
+    return y_t.T[n_pad - n:], zf

@@ -33,8 +33,8 @@ Three execution paths, chosen in ``sosfilt_scan``:
   * host-designed numpy coefficients: float64-precomputed matrices enter
     as values (_cascade_ks_pack) — stable even for the reference's
     near-defective Nyquist-clamped filters;
-  * AME_TPU_PALLAS=1 + host-known k>=2: the one-pass Pallas kernel
-    (ops/pallas_scan.py).
+  * AME_TPU_PALLAS=1 + host-known k>=3: the one-pass Pallas kernel
+    (ops/pallas_scan.py; k<=2 measured faster on the XLA path).
 
 Per-section state convention matches ``scipy.signal.sosfilt``'s ``zi``
 exactly; coefficients/zi are traced arguments, so one compile per input
@@ -76,6 +76,10 @@ def _ein(spec, *ops):
 import os as _os
 
 _MAX_BLOCK = int(_os.environ.get("AME_TPU_SCAN_BLOCK", 128))
+if _MAX_BLOCK & (_MAX_BLOCK - 1):
+    # both scan paths assume power-of-two block lengths (level matrices are
+    # A^(2^l)); round a non-power-of-two override up rather than mis-filter
+    _MAX_BLOCK = 1 << _MAX_BLOCK.bit_length()
 
 # Opt-in one-pass Pallas kernel for host-designed multi-section cascades
 # (see ops/pallas_scan.py): 1.4x faster at k=4 and ~1e-7 accurate, but

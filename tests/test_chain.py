@@ -81,22 +81,32 @@ def test_compat_full_chain_lufs_accuracy():
     assert float(np.max(np.abs(np.asarray(y)))) <= 0.98 + 1e-5  # Q8 limiter
 
 
-def test_compat_chunked_matches_chunked_oracle():
-    """Quirk Q6 emulation: 30 s state resets. Uses a short chunk via a
-    scaled-down sample rate to keep the test fast."""
-    sr = 8000  # chunk = 30*8000 = 240000 > n; use 2 chunks of 1 s
+def test_compat_chunked_matches_chunked_oracle(monkeypatch):
+    """Quirk Q6 emulation: state resets at chunk boundaries. The chunk
+    length is shrunk to 1 s so a 2 s input genuinely CROSSES a boundary
+    (the graph reads COMPAT_CHUNK_SECONDS at call time)."""
+    sr = 8000
     import ame_tpu.config as C
-    x = make_test_signal("noise", sr * 2, sr) * 0.3
+    import ame_tpu.graph.chain as chain_mod
+    monkeypatch.setattr(C, "COMPAT_CHUNK_SECONDS", 1.0)
+    monkeypatch.setattr(chain_mod.C, "COMPAT_CHUNK_SECONDS", 1.0)
+    x = make_test_signal("noise", sr * 2, sr) * 0.3  # 2 chunks of 1 s
     sd = dict(bass_boost=3.0, mid_cut=2.0)
     want = _oracle_pre_loudnorm_sr(x.astype(np.float64), sd, sr,
-                                   chunk_len=int(C.COMPAT_CHUNK_SECONDS * sr))
-    # n < chunk_len here, so chunked == unchunked; just assert the graph
-    # runs with the flag and matches
+                                   chunk_len=sr)
     s = MasterSettings.from_dict({**sd, "lufs": None, "mode": "compat",
                                   "compat_chunked": True})
     xq = quantize.int16_roundtrip(jnp.asarray(x))
     got, _ = master_graph(xq, sr, s)
     assert rel_err(got, want) < 3e-3
+    # the reset is load-bearing: a continuous-state (unchunked) oracle must
+    # NOT match as well right after the boundary
+    want_cont = _oracle_pre_loudnorm_sr(x.astype(np.float64), sd, sr,
+                                        chunk_len=None)
+    seg = slice(sr, sr + 256)
+    err_reset = rel_err(got[seg], want[seg])
+    err_cont = rel_err(got[seg], want_cont[seg])
+    assert err_reset < err_cont
 
 
 def _oracle_pre_loudnorm_sr(x, settings_dict, sr, chunk_len=None):

@@ -42,3 +42,41 @@ def test_pallas_matches_scipy(sos_fn, kind, monkeypatch):
     got_zf = np.asarray(zf)  # [k, C, 2]
     np.testing.assert_allclose(got_zf, np.moveaxis(want_zf, 1, 2),
                                atol=1e-4, rtol=1e-3)
+
+
+def test_pallas_zf_exact_for_partial_tail(monkeypatch):
+    """When N is not a multiple of the kernel block, the final state must
+    equal scipy's — the old trailing-pad + A^pad inverse amplified f32
+    rounding into garbage for stable (ill-conditioned-inverse) filters.
+    Front padding makes it exact by construction."""
+    import jax.numpy as jnp
+    from scipy.signal import butter, sosfilt
+    from ame_tpu.ops import pallas_scan
+
+    monkeypatch.setattr(pallas_scan, "_TB", 1 << 10)
+    monkeypatch.setattr(pallas_scan.pl, "pallas_call",
+                        _interpret_pallas_call())
+    sos = butter(6, 800.0, btype="lowpass", fs=44100, output="sos")
+    rng = np.random.default_rng(1)
+    n = 3 * (1 << 10) + 345
+    x = rng.normal(size=(n, 2)).astype(np.float32) * 0.3
+    y, zf = pallas_scan.sosfilt_pallas(sos, jnp.asarray(x))
+    want, zf_want = sosfilt(sos, x.astype(np.float64), axis=0,
+                            zi=np.zeros((sos.shape[0], 2, 2)))
+    assert np.abs(np.asarray(y) - want).max() < 1e-4
+    zf_want_t = np.moveaxis(zf_want, 1, -1)
+    assert np.abs(np.asarray(zf) - zf_want_t).max() < 1e-4
+
+
+def _interpret_pallas_call():
+    import functools
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+
+    @functools.wraps(orig)
+    def wrapper(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    return wrapper

@@ -47,3 +47,32 @@ def test_stereo_shape():
     x = np.stack([_tone(440, 4410, 44100), _tone(880, 4410, 44100)], 1)
     y = np.asarray(resample(jnp.asarray(x), 44100, 22050))
     assert y.shape == (2205, 2)
+
+
+def test_positions_exact_no_drift():
+    """Integer-phase positions are exact at any output index: a 5-minute
+    44.1k->22.05k stream's last position must be bit-exact (the old f32
+    accumulation drifted ~0.1 sample by minute 5), and an irrational-ish
+    ratio (48k->44.1k) must match Fraction arithmetic exactly."""
+    from fractions import Fraction
+    from ame_tpu.ops.resample import _positions
+
+    for in_rate, out_rate in ((44100, 22050), (48000, 44100),
+                              (44100, 48000)):
+        n_out = out_rate * 300  # 5 minutes
+        base, frac = _positions(n_out, in_rate, out_rate)
+        r = Fraction(in_rate, out_rate)
+        for m in (0, 1, n_out // 2, n_out - 2, n_out - 1):
+            pos = m * r
+            assert base[m] == pos.numerator // pos.denominator
+            want_frac = float(pos - (pos.numerator // pos.denominator))
+            assert abs(float(frac[m]) - want_frac) < 2e-7
+
+
+def test_no_x64_warning():
+    """The resampler must not request float64 without x64 enabled."""
+    import warnings
+    x = _tone(440.0, 44100, 44100)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        np.asarray(resample(jnp.asarray(x), 44100, 22050))

@@ -85,7 +85,11 @@ def _stage_multiband_compat(x, threshs, ratios, sample_rate, exact,
 
 @partial(jax.jit, static_argnums=(3, 4))
 def _stage_normalize(x, target, n_valid, sample_rate, requantize):
-    y, info = normalize_two_pass(x, sample_rate, target, n_valid=n_valid)
+    # compat (requantize=True) mirrors ffmpeg loudnorm pass-2's linear-mode
+    # eligibility gates (TP headroom + LRA <= 11); quality applies the
+    # clean unconditional gain and lets the limiter govern the ceiling
+    y, info = normalize_two_pass(x, sample_rate, target, n_valid=n_valid,
+                                 ffmpeg_gates=requantize)
     if requantize:
         y = quantize.int16_roundtrip(y)  # ffmpeg pass-2 writes pcm_s16le
     return y, info

@@ -207,26 +207,50 @@ def measure(x: jax.Array, sample_rate: float, n_valid=None) -> dict:
 def normalize_two_pass(x: jax.Array, sample_rate: float,
                        target_lufs: float = -14.0,
                        target_tp_db: float = -1.5,
+                       target_lra: float = 11.0,
                        protect_tp: bool = False,
+                       ffmpeg_gates: bool = False,
                        n_valid=None):
     """Measure, then apply one linear gain to reach ``target_lufs``.
 
     Mirrors the reference path (engine:227-246): silent input (measured
-    -inf) passes through unchanged (quirk Q9). With ``protect_tp`` the gain
-    is capped so the 4x true peak stays under ``target_tp_db`` (the
-    reference chain instead relies on its always-on 0.98 limiter, Q8).
+    -inf) passes through unchanged (quirk Q9).
 
-    Returns (y, info dict of traced scalars).
+    ``ffmpeg_gates`` mirrors loudnorm pass-2's documented linear-mode
+    eligibility (the reference's pass 2 runs with measured_* values and
+    ``linear`` defaulting on, engine:240-241): linear scaling applies ONLY
+    when (a) measured_tp + offset <= target_tp — the gain would not push
+    the true peak past the ceiling — and (b) measured LRA <= target LRA.
+    Otherwise ffmpeg reverts to its dynamic (frame-adaptive) mode. The
+    rebuild substitutes a documented stand-in for dynamic mode: the same
+    single gain capped to the true-peak headroom (keeps the ceiling legal
+    and gets integrated loudness as close as one gain can; ffmpeg's
+    time-varying gain trajectory is NOT replicated — see
+    tests/test_loudness.py for the scoped parity claims).
+
+    ``protect_tp`` alone caps the gain to true-peak headroom
+    unconditionally (quality-mode option).
+
+    Returns (y, info dict of traced scalars; ``linear_mode`` is 1.0 when
+    the unconditioned linear gain was applied).
     """
     if x.ndim == 1:
         x = x[:, None]
     stats = measure(x, sample_rate, n_valid)
-    gain_db = jnp.asarray(target_lufs, x.dtype) - stats["input_i"]
-    if protect_tp:
-        headroom = jnp.asarray(target_tp_db, x.dtype) - stats["input_tp"]
-        gain_db = jnp.minimum(gain_db, headroom)
+    offset = jnp.asarray(target_lufs, x.dtype) - stats["input_i"]
+    headroom = jnp.asarray(target_tp_db, x.dtype) - stats["input_tp"]
+    gain_db = offset
+    linear_ok = jnp.ones((), bool)
+    if ffmpeg_gates:
+        offset_tp = stats["input_tp"] + offset
+        linear_ok = ((offset_tp <= target_tp_db) &
+                     (stats["input_lra"] <= target_lra))
+        gain_db = jnp.where(linear_ok, offset, jnp.minimum(offset, headroom))
+    elif protect_tp:
+        gain_db = jnp.minimum(offset, headroom)
     silent = ~jnp.isfinite(stats["input_i"])
     gain_db = jnp.where(silent, 0.0, gain_db)
     y = x * 10.0 ** (gain_db / 20.0)
     return y, {**stats, "gain_db": gain_db,
-               "output_i": stats["input_i"] + gain_db}
+               "output_i": stats["input_i"] + gain_db,
+               "linear_mode": linear_ok.astype(x.dtype)}

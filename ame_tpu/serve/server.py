@@ -12,11 +12,22 @@
     GET  /download/<name>, /art/<name>, /  (web UI)
 
 Implementation: Python stdlib ThreadingHTTPServer; local-disk object store
-standing in for GCS signed URLs; one background worker thread drains a job
+standing in for GCS signed URLs; a pool of worker threads drains a job
 queue (jobs run the same ``process_audio`` orchestration as the desktop
 path, so the serving tier inherits the degrade-and-continue error policy).
 Jobs are asynchronous exactly like the implied App Engine backend — the
 client polls /status (index.html:291-334 behavior).
+
+Concurrency: every job-state mutation and read goes through lock-guarded
+JobStore methods (worker callbacks fire on worker threads while request
+threads read and persist() serializes — unguarded dict mutation here was
+round-1 review finding "serve job-state thread-safety"). Downloads stream
+in chunks instead of whole-file reads.
+
+The served page mirrors the reference UI's full control set
+(index.html:188-202: 7 main sliders + multiband toggle with 6 band
+sliders; :39-42 art-prompt textarea + auto-generate toggle; MP3 toggle;
+progress bar; art rendering on done :360-380) with original markup.
 """
 
 from __future__ import annotations
@@ -33,6 +44,8 @@ from urllib.parse import parse_qs, urlparse
 
 log = logging.getLogger("ame_tpu.serve")
 
+_DOWNLOAD_CHUNK = 256 * 1024
+
 
 class JobStore:
     """Job/state registry + on-disk blobs.
@@ -41,7 +54,10 @@ class JobStore:
     parallel/fleet): a restarted server reloads job states, and jobs that
     were mid-flight when the process died are REQUEUED (their uploads are
     still on disk) — the serving tier's checkpoint/resume story
-    (SURVEY.md §5.4, where the reference has none)."""
+    (SURVEY.md §5.4, where the reference has none).
+
+    All reads/writes of job state go through the lock: callbacks mutate
+    from worker threads while request handlers read concurrently."""
 
     def __init__(self, workdir: str):
         self.workdir = workdir
@@ -50,6 +66,7 @@ class JobStore:
         os.makedirs(self.uploads, exist_ok=True)
         os.makedirs(self.outputs, exist_ok=True)
         self.lock = threading.Lock()
+        self._persist_lock = threading.Lock()  # serializes disk writes
         self.jobs: dict[str, dict] = {}   # output name -> state
         self.queue: "queue.Queue[tuple[str, dict]]" = queue.Queue()
         self._jobs_path = os.path.join(workdir, "jobs.json")
@@ -76,16 +93,51 @@ class JobStore:
                     state["status"] = "error"
                     state["error"] = "interrupted; input lost"
 
+    # -- lock-guarded state access -------------------------------------------
+    def create_job(self, name: str, state: dict) -> None:
+        with self.lock:
+            self.jobs[name] = state
+
+    def update_job(self, name: str, **fields) -> None:
+        with self.lock:
+            job = self.jobs.get(name)
+            if job is not None:
+                job.update(fields)
+
+    def append_message(self, name: str, msg: str) -> None:
+        with self.lock:
+            job = self.jobs.get(name)
+            if job is not None:
+                job.setdefault("messages", []).append(msg)
+                if msg.startswith("Error:"):
+                    job["status"] = "error"
+                    job["error"] = msg
+
+    def job_snapshot(self, name: str) -> dict | None:
+        with self.lock:
+            job = self.jobs.get(name)
+            return None if job is None else json.loads(
+                json.dumps(job, default=str))
+
+    def job_status(self, name: str) -> str | None:
+        with self.lock:
+            job = self.jobs.get(name)
+            return None if job is None else job.get("status")
+
     def persist(self) -> None:
         tmp = self._jobs_path + ".tmp"
         with self.lock:
             snapshot = json.dumps(self.jobs, default=str, indent=1)
-        with open(tmp, "w") as f:
-            f.write(snapshot)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._jobs_path)
+        # two workers finishing together must not race write/replace on the
+        # same tmp file (the loser's os.replace would find it gone)
+        with self._persist_lock:
+            with open(tmp, "w") as f:
+                f.write(snapshot)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._jobs_path)
 
+    # -- blobs ----------------------------------------------------------------
     def new_upload(self, filename: str) -> tuple[str, str]:
         blob_id = f"{uuid.uuid4().hex}_{os.path.basename(filename)}"
         return f"/upload/{blob_id}", f"local://{blob_id}"
@@ -102,32 +154,27 @@ def _worker_loop(store: JobStore):
 
     while True:
         job_name, settings = store.queue.get()
-        state = store.jobs[job_name]
 
         def status_cb(msg):
-            state["messages"].append(msg)
-            if msg.startswith("Error:"):
-                state["status"] = "error"
-                state["error"] = msg
+            store.append_message(job_name, msg)
 
         def progress_cb(cur, total):
-            state["progress"] = [cur, total]
+            store.update_job(job_name, progress=[cur, total])
 
         def art_cb(path):
             if path:
-                state["art_file"] = path
+                store.update_job(job_name, art_file=path)
 
         def tag_cb(msg):
-            state["tag"] = msg
+            store.update_job(job_name, tag=msg)
 
         try:
             process_audio(settings, status_cb, progress_cb, art_cb, tag_cb)
-            if state["status"] != "error":
-                state["status"] = "done"
+            if store.job_status(job_name) != "error":
+                store.update_job(job_name, status="done")
         except Exception as e:  # pragma: no cover — process_audio catches
             log.exception("job failed")
-            state["status"] = "error"
-            state["error"] = str(e)
+            store.update_job(job_name, status="error", error=str(e))
         finally:
             store.persist()
             store.queue.task_done()
@@ -179,12 +226,11 @@ class Handler(BaseHTTPRequestHandler):
                 art_name = f"{stem}_mastered_art.png"
                 settings["input_file"] = input_path
                 settings["output_file"] = self.store.output_path(out_name)
-                with self.store.lock:
-                    self.store.jobs[out_name] = {
-                        "status": "processing", "messages": [],
-                        "progress": [0, 1], "tag": "", "art_file": None,
-                        "settings": settings,
-                    }
+                self.store.create_job(out_name, {
+                    "status": "processing", "messages": [],
+                    "progress": [0, 1], "tag": "", "art_file": None,
+                    "settings": settings,
+                })
                 self.store.persist()
                 self.store.queue.put((out_name, settings))
                 self._json(200, {"processed_filename": out_name,
@@ -212,7 +258,7 @@ class Handler(BaseHTTPRequestHandler):
         if path == "/status":
             q = parse_qs(parsed.query)
             name = (q.get("audio_filename") or [""])[0]
-            job = self.store.jobs.get(os.path.basename(name))
+            job = self.store.job_snapshot(os.path.basename(name))
             if job is None:
                 self._json(404, {"status": "error",
                                  "error": "unknown job"})
@@ -222,6 +268,9 @@ class Handler(BaseHTTPRequestHandler):
                         "download_url": f"/download/{os.path.basename(name)}",
                         "progress": job["progress"],
                         "tag": job.get("tag", "")}
+                mp3 = os.path.splitext(os.path.basename(name))[0] + ".mp3"
+                if os.path.exists(self.store.output_path(mp3)):
+                    resp["mp3_url"] = f"/download/{mp3}"
                 if job.get("art_file"):
                     resp["art_url"] = (
                         f"/art/{os.path.basename(job['art_file'])}")
@@ -231,7 +280,8 @@ class Handler(BaseHTTPRequestHandler):
                                  "error": job.get("error", "unknown")})
             else:
                 self._json(200, {"status": "processing",
-                                 "progress": job["progress"]})
+                                 "progress": job["progress"],
+                                 "queue_depth": self.store.queue.qsize()})
         elif path.startswith("/download/") or path.startswith("/art/"):
             name = os.path.basename(path)
             fp = self.store.output_path(name)
@@ -242,13 +292,16 @@ class Handler(BaseHTTPRequestHandler):
                      "audio/mpeg" if name.endswith(".mp3") else
                      "image/png" if name.endswith(".png") else
                      "application/octet-stream")
-            with open(fp, "rb") as f:
-                data = f.read()
             self.send_response(200)
             self.send_header("Content-Type", ctype)
-            self.send_header("Content-Length", str(len(data)))
+            self.send_header("Content-Length", str(os.path.getsize(fp)))
             self.end_headers()
-            self.wfile.write(data)
+            with open(fp, "rb") as f:  # stream, don't slurp
+                while True:
+                    chunk = f.read(_DOWNLOAD_CHUNK)
+                    if not chunk:
+                        break
+                    self.wfile.write(chunk)
         elif path in ("/", "/index.html"):
             page = _web_ui().encode()
             self.send_response(200)
@@ -257,97 +310,158 @@ class Handler(BaseHTTPRequestHandler):
             self.end_headers()
             self.wfile.write(page)
         elif path == "/healthz":
-            self._json(200, {"ok": True})
+            self._json(200, {"ok": True,
+                             "queue_depth": self.store.queue.qsize()})
         else:
             self._json(404, {"error": "not found"})
 
 
 def _web_ui() -> str:
-    """Minimal single-page client speaking the same endpoint contract as the
-    reference's web UI (own markup — the flow is upload-url -> PUT ->
-    start-processing -> poll status, index.html:249-334)."""
+    """Single-page client with the reference UI's full control set (own
+    markup; same endpoint flow: upload-url -> PUT -> start-processing ->
+    poll status -> download + art, index.html:249-380)."""
     return """<!doctype html>
 <html><head><meta charset="utf-8"><title>ame_tpu mastering</title>
 <style>
- body{font-family:system-ui;margin:2rem auto;max-width:640px;color:#ddd;background:#191b1f}
+ body{font-family:system-ui;margin:2rem auto;max-width:680px;color:#ddd;background:#191b1f}
  fieldset{border:1px solid #333;margin-bottom:1rem} label{display:block;margin:.4rem 0}
- input[type=range]{width:260px;vertical-align:middle}
+ input[type=range]{width:250px;vertical-align:middle}
+ textarea{width:100%;background:#111;color:#ddd;border:1px solid #333}
  #log{white-space:pre-wrap;background:#111;padding:.6rem;font-size:.8rem;min-height:6rem}
  button{padding:.5rem 1.2rem}
+ progress{width:100%;height:1rem}
+ #mb_panel{margin-left:1rem}
+ #art{max-width:100%;margin-top:.6rem;display:none}
+ .val{color:#8ab;font-size:.85em;margin-left:.4em}
 </style></head><body>
 <h1>ame_tpu mastering service</h1>
 <fieldset><legend>Track</legend><input type="file" id="file"></fieldset>
-<fieldset><legend>Settings</legend>
- <label>Bass (dB) <input type="range" id="bass_boost" min="-6" max="6" step="0.5" value="0"></label>
- <label>Mid cut (dB) <input type="range" id="mid_cut" min="0" max="6" step="0.5" value="0"></label>
- <label>Presence (dB) <input type="range" id="presence_boost" min="-6" max="6" step="0.5" value="0"></label>
- <label>Treble (dB) <input type="range" id="treble_boost" min="-6" max="6" step="0.5" value="0"></label>
- <label>Analog character (%) <input type="range" id="analog_character" min="0" max="100" step="1" value="0"></label>
- <label>Stereo width <input type="range" id="width" min="0" max="2" step="0.1" value="1"></label>
- <label>Target LUFS <input type="range" id="lufs" min="-20" max="-6" step="0.5" value="-14"></label>
+<fieldset><legend>Master settings</legend>
+ <label>Bass (dB) <input type="range" id="bass_boost" min="-6" max="6" step="0.5" value="0"><span class="val"></span></label>
+ <label>Mid cut (dB) <input type="range" id="mid_cut" min="0" max="6" step="0.5" value="0"><span class="val"></span></label>
+ <label>Presence (dB) <input type="range" id="presence_boost" min="-6" max="6" step="0.5" value="0"><span class="val"></span></label>
+ <label>Treble (dB) <input type="range" id="treble_boost" min="-6" max="6" step="0.5" value="0"><span class="val"></span></label>
+ <label>Analog character (%) <input type="range" id="analog_character" min="0" max="100" step="1" value="0"><span class="val"></span></label>
+ <label>Stereo width <input type="range" id="width" min="0" max="2" step="0.1" value="1"><span class="val"></span></label>
+ <label>Target LUFS <input type="range" id="lufs" min="-20" max="-6" step="0.5" value="-14"><span class="val"></span></label>
+</fieldset>
+<fieldset><legend><label><input type="checkbox" id="multiband"> Multiband compressor</label></legend>
+ <div id="mb_panel" style="display:none">
+  <label>Low thresh (dB) <input type="range" id="low_thresh" min="-40" max="0" step="1" value="-25"><span class="val"></span></label>
+  <label>Low ratio <input type="range" id="low_ratio" min="1" max="10" step="0.5" value="6"><span class="val"></span></label>
+  <label>Mid thresh (dB) <input type="range" id="mid_thresh" min="-40" max="0" step="1" value="-20"><span class="val"></span></label>
+  <label>Mid ratio <input type="range" id="mid_ratio" min="1" max="10" step="0.5" value="3"><span class="val"></span></label>
+  <label>High thresh (dB) <input type="range" id="high_thresh" min="-40" max="0" step="1" value="-15"><span class="val"></span></label>
+  <label>High ratio <input type="range" id="high_ratio" min="1" max="10" step="0.5" value="4"><span class="val"></span></label>
+ </div>
+</fieldset>
+<fieldset><legend>Cover art</legend>
+ <label><input type="checkbox" id="auto_generate_prompt" checked> Auto-generate prompt from analysis</label>
+ <textarea id="art_prompt" rows="2" placeholder="Manual art prompt…" disabled></textarea>
+</fieldset>
+<fieldset><legend>Export</legend>
+ <label><input type="checkbox" id="create_mp3" checked> Also create MP3 (V0)</label>
 </fieldset>
 <button id="go">Master it</button>
+<progress id="bar" max="1" value="0"></progress>
 <h3>Log</h3><div id="log"></div>
+<p id="tag"></p>
 <p id="result"></p>
+<img id="art" alt="cover art">
 <script>
-const log = m => document.getElementById('log').textContent += m + "\\n";
-document.getElementById('go').onclick = async () => {
-  const f = document.getElementById('file').files[0];
+const $ = id => document.getElementById(id);
+const log = m => $('log').textContent += m + "\\n";
+const SLIDERS = ['bass_boost','mid_cut','presence_boost','treble_boost',
+                 'analog_character','width','lufs','low_thresh','low_ratio',
+                 'mid_thresh','mid_ratio','high_thresh','high_ratio'];
+for (const id of SLIDERS) {
+  const el = $(id), out = el.parentElement.querySelector('.val');
+  const upd = () => { if (out) out.textContent = el.value; };
+  el.addEventListener('input', upd); upd();
+}
+$('multiband').onchange = () =>
+  $('mb_panel').style.display = $('multiband').checked ? '' : 'none';
+$('auto_generate_prompt').onchange = () =>
+  $('art_prompt').disabled = $('auto_generate_prompt').checked;
+const setBusy = b => {
+  for (const el of document.querySelectorAll('input,textarea,button'))
+    el.disabled = b;
+  if (!b) $('art_prompt').disabled = $('auto_generate_prompt').checked;
+};
+$('go').onclick = async () => {
+  const f = $('file').files[0];
   if (!f) { log('pick a file first'); return; }
   const settings = {};
-  for (const id of ['bass_boost','mid_cut','presence_boost','treble_boost',
-                    'analog_character','width','lufs'])
-    settings[id] = parseFloat(document.getElementById(id).value);
-  log('requesting upload URL…');
-  let r = await fetch('/generate-upload-url', {method:'POST',
-    headers:{'Content-Type':'application/json'},
-    body: JSON.stringify({filename: f.name, contentType: f.type})});
-  const {url, gcs_uri} = await r.json();
-  log('uploading…');
-  await fetch(url, {method:'PUT', body: f});
-  log('starting job…');
-  r = await fetch('/start-processing', {method:'POST',
-    headers:{'Content-Type':'application/json'},
-    body: JSON.stringify({gcs_uri, settings})});
-  const {processed_filename, image_filename} = await r.json();
-  let failures = 0;
-  const poll = async () => {
-    try {
-      const s = await (await fetch(`/status?audio_filename=${processed_filename}&image_filename=${image_filename}`)).json();
-      if (s.status === 'done') {
-        log('done');
-        document.getElementById('result').innerHTML =
-          `<a href="${s.download_url}">download master</a>` +
-          (s.art_url ? ` · <a href="${s.art_url}">cover art</a>` : '');
-        return;
+  for (const id of SLIDERS) settings[id] = parseFloat($(id).value);
+  settings.multiband = $('multiband').checked;
+  settings.create_mp3 = $('create_mp3').checked;
+  settings.auto_generate_prompt = $('auto_generate_prompt').checked;
+  settings.art_prompt = $('art_prompt').value;
+  settings.original_filename = f.name;
+  setBusy(true);
+  try {
+    log('requesting upload URL…');
+    let r = await fetch('/generate-upload-url', {method:'POST',
+      headers:{'Content-Type':'application/json'},
+      body: JSON.stringify({filename: f.name, contentType: f.type})});
+    const {url, gcs_uri} = await r.json();
+    log('uploading…');
+    await fetch(url, {method:'PUT', body: f});
+    log('starting job…');
+    r = await fetch('/start-processing', {method:'POST',
+      headers:{'Content-Type':'application/json'},
+      body: JSON.stringify({gcs_uri, settings})});
+    const {processed_filename, image_filename} = await r.json();
+    let failures = 0;
+    const poll = async () => {
+      try {
+        const s = await (await fetch(`/status?audio_filename=${processed_filename}&image_filename=${image_filename}`)).json();
+        if (s.status === 'done') {
+          $('bar').value = 1;
+          if (s.tag) $('tag').textContent = s.tag;
+          log('done');
+          $('result').innerHTML =
+            `<a href="${s.download_url}">download master</a>` +
+            (s.mp3_url ? ` · <a href="${s.mp3_url}">MP3</a>` : '');
+          if (s.art_url) { $('art').src = s.art_url; $('art').style.display = 'block'; }
+          setBusy(false);
+          return;
+        }
+        if (s.status === 'error') { log('error: ' + s.error); setBusy(false); return; }
+        if (s.progress && s.progress[1] > 0) $('bar').value = s.progress[0] / s.progress[1];
+        log(`processing ${s.progress[0]}/${s.progress[1]}…`);
+      } catch (e) {
+        if (++failures > 5) { log('giving up'); setBusy(false); return; }
       }
-      if (s.status === 'error') { log('error: ' + s.error); return; }
-      log(`processing ${s.progress[0]}/${s.progress[1]}…`);
-    } catch (e) {
-      if (++failures > 5) { log('giving up'); return; }
-    }
-    setTimeout(poll, 2000);
-  };
-  poll();
+      setTimeout(poll, 2000);
+    };
+    poll();
+  } catch (e) { log('error: ' + e); setBusy(false); }
 };
 </script></body></html>"""
 
 
 def make_server(host: str = "127.0.0.1", port: int = 8080,
-                workdir: str | None = None):
-    """Build (server, store) without blocking — used by tests."""
+                workdir: str | None = None, workers: int | None = None):
+    """Build (server, store) without blocking — used by tests.
+
+    workers: size of the job-worker pool (env AME_TPU_SERVE_WORKERS,
+    default 2 — two queued jobs overlap decode/encode/analysis)."""
     workdir = workdir or tempfile.mkdtemp(prefix="ame_tpu_serve_")
     store = JobStore(workdir)
-    worker = threading.Thread(target=_worker_loop, args=(store,), daemon=True)
-    worker.start()
+    if workers is None:
+        workers = int(os.environ.get("AME_TPU_SERVE_WORKERS", 2))
+    for _ in range(max(workers, 1)):
+        threading.Thread(target=_worker_loop, args=(store,),
+                         daemon=True).start()
     handler = type("BoundHandler", (Handler,), {"store": store})
     server = ThreadingHTTPServer((host, port), handler)
     return server, store
 
 
 def run_server(host: str = "127.0.0.1", port: int = 8080,
-               workdir: str | None = None):
-    server, store = make_server(host, port, workdir)
+               workdir: str | None = None, workers: int | None = None):
+    server, store = make_server(host, port, workdir, workers)
     log.info("serving on http://%s:%d (workdir %s)", host, port,
              store.workdir)
     try:

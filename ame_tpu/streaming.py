@@ -1,0 +1,198 @@
+"""Streaming / low-latency mastering — a capability the reference lacks.
+
+The scan engine's exact state handoff (``sosfilt_scan``'s scipy-layout
+``zi``/``zf``, proven in tests/test_scan_iir.py) makes chunked processing
+bit-consistent with the whole-track graph: a live input can be mastered in
+small chunks with NO chunk-boundary artifacts — unlike the reference's 30 s
+pipeline, which resets all filter state at every boundary (quirk Q6).
+
+``StreamingMaster`` runs the QUALITY chain (analog character -> RBJ EQ ->
+stereo width -> optional static gain -> lookahead limiter) incrementally:
+
+  * every IIR stage carries its exact ``zi`` between chunks;
+  * tanh/width/gain are stateless;
+  * the lookahead limiter is re-derived in streaming form: the output lags
+    the input by ``attack-1`` samples (the lookahead window), with the
+    sliding-min/mean windows recomputed over a carried context so emitted
+    gains match the offline ``lookahead_limiter`` exactly, and the release
+    recursion seeded from the previous chunk's final state.
+
+Two-pass loudness normalization is inherently offline; streaming accepts a
+static ``gain_db`` instead (measure once, stream with the measured gain).
+
+Typical use::
+
+    sm = StreamingMaster(48000, {"bass_boost": 2.0, "width": 1.2})
+    for chunk in capture():          # [n, 2] float32, n >= 2*attack
+        play(sm.process(chunk))
+    play(sm.flush())
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ame_tpu import config as C
+from ame_tpu.config import MasterSettings
+from ame_tpu.ops import window as W
+from ame_tpu.ops.eq import _rbj_peaking_coeffs_jnp, _rbj_shelf_coeffs_jnp
+from ame_tpu.ops.scan_iir import sosfilt_scan
+from ame_tpu.ops.stereo import stereo_width_quality
+
+
+def _analog_sos(factor, sample_rate, dt):
+    return jnp.stack([
+        _rbj_shelf_coeffs_jnp(C.ANALOG_LOW_SHELF_HZ, sample_rate,
+                              factor * 1.0, 0.7071, "low"),
+        _rbj_shelf_coeffs_jnp(C.ANALOG_HIGH_SHELF_HZ, sample_rate,
+                              factor * 1.5, 0.7071, "high"),
+    ]).astype(dt)
+
+
+def _eq_sos(p, sample_rate, dt, peak_q=1.41):
+    return jnp.stack([
+        _rbj_shelf_coeffs_jnp(C.BASS_SHELF_HZ, sample_rate,
+                              p["bass"], 0.7071, "low"),
+        _rbj_peaking_coeffs_jnp(C.MID_PEAK_HZ, sample_rate,
+                                -p["mid_cut"], peak_q),
+        _rbj_peaking_coeffs_jnp(C.PRESENCE_PEAK_HZ, sample_rate,
+                                p["presence"], peak_q),
+        _rbj_shelf_coeffs_jnp(C.TREBLE_SHELF_HZ, sample_rate,
+                              p["treble"], 0.7071, "high"),
+    ]).astype(dt)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _stream_step(x, state, p, sr, A, phase, structure):
+    """One streaming step. phase: 'first' | 'steady' | 'flush'.
+
+    Filters advance their zi exactly; the limiter recomputes its windows
+    over [past(A-1) | pend(A-1) | new] context and emits every sample whose
+    lookahead window is complete.
+    """
+    analog_on, width_on = structure
+    rho = jnp.asarray(math.exp(-1.0 / (0.05 * sr)), jnp.float32)
+    ceiling = jnp.asarray(C.LIMITER_CEILING, jnp.float32)
+
+    new_state = dict(state)
+    if phase != "flush":
+        y = x
+        if analog_on:
+            factor = p["analog"] / 100.0
+            y = jnp.tanh(y * (1.0 + factor * 0.5))
+            y, new_state["zi_a"] = sosfilt_scan(
+                _analog_sos(factor, sr, y.dtype), y, zi=state["zi_a"])
+        y, new_state["zi_e"] = sosfilt_scan(
+            _eq_sos(p, sr, y.dtype), y, zi=state["zi_e"])
+        if width_on:
+            y = stereo_width_quality(y, p["width"])
+        y = y * 10.0 ** (p["gain_db"] / 20.0)
+        if phase == "first":
+            z = y
+        else:
+            z = jnp.concatenate([state["past"], state["pend"], y], axis=0)
+    else:
+        z = jnp.concatenate([state["past"], state["pend"]], axis=0)
+
+    L = z.shape[0]
+    P = 0 if phase == "first" else A - 1
+
+    peak = jnp.max(jnp.abs(z), axis=1)
+    g_t = jnp.minimum(1.0, ceiling / jnp.maximum(peak, 1e-9))
+    g_a = W.sliding_min_ahead(g_t, A)
+    g_r = W.moving_mean_past(g_a, A)
+
+    e1 = L if phase == "flush" else L - A + 1  # emit z[P : e1]
+    # release recursion seeded from the previous emitted sample's state by
+    # prepending it as a virtual element (y[-1] = u_prev exactly)
+    seg = jnp.concatenate([state["u_prev"][None], 1.0 - g_r[P:e1]])
+    u = W.release_scan(seg, rho)[1:]
+    y_out = z[P:e1] * (1.0 - u)[:, None]
+
+    new_state["u_prev"] = u[-1] if u.shape[0] else state["u_prev"]
+    if phase != "flush":
+        new_state["pend"] = z[L - A + 1:]
+        new_state["past"] = z[L - 2 * A + 2:L - A + 1]
+    return y_out, new_state
+
+
+class StreamingMaster:
+    """Incremental quality-chain mastering with exact chunk handoff.
+
+    settings: MasterSettings or reference settings dict (quality fields:
+    analog_character, bass/mid/presence/treble, width). ``lufs`` is ignored
+    (two-pass normalization is offline); pass ``gain_db`` instead.
+
+    ``process(chunk)`` takes [n, 2] float32 with n >= 2*attack_samples and
+    returns the samples whose lookahead completed (n per call in steady
+    state; the stream lags by ``latency_samples``). ``flush()`` drains the
+    tail. Chunk sizes may vary; each distinct size compiles once.
+    """
+
+    def __init__(self, sample_rate: float, settings=None,
+                 gain_db: float = 0.0):
+        if settings is None:
+            settings = MasterSettings()
+        elif not isinstance(settings, MasterSettings):
+            settings = MasterSettings.from_dict(dict(settings))
+        self.sample_rate = float(sample_rate)
+        self.attack = max(int(C.LIMITER_ATTACK_MS * sample_rate / 1000.0), 1)
+        self._structure = (settings.analog_character != 0,
+                           settings.width != 1.0)
+        self._p = {
+            "analog": jnp.float32(settings.analog_character),
+            "bass": jnp.float32(settings.bass_boost),
+            "mid_cut": jnp.float32(settings.mid_cut),
+            "presence": jnp.float32(settings.presence_boost),
+            "treble": jnp.float32(settings.treble_boost),
+            "width": jnp.float32(settings.width),
+            "gain_db": jnp.float32(gain_db),
+        }
+        A = self.attack
+        self._state = {
+            "zi_a": jnp.zeros((2, 2, 2), jnp.float32),
+            "zi_e": jnp.zeros((4, 2, 2), jnp.float32),
+            "past": jnp.zeros((A - 1, 2), jnp.float32),
+            "pend": jnp.zeros((A - 1, 2), jnp.float32),
+            "u_prev": jnp.zeros((), jnp.float32),
+        }
+        self._first = True
+        self._done = False
+
+    @property
+    def latency_samples(self) -> int:
+        return self.attack - 1
+
+    def process(self, chunk) -> np.ndarray:
+        if self._done:
+            raise RuntimeError("stream already flushed")
+        x = jnp.asarray(chunk, jnp.float32)
+        if x.ndim != 2 or x.shape[1] != 2:
+            raise ValueError("chunk must be [n, 2]")
+        if x.shape[0] < 2 * self.attack:
+            raise ValueError(
+                f"chunk must be >= {2 * self.attack} samples "
+                f"(2x the limiter lookahead)")
+        phase = "first" if self._first else "steady"
+        self._first = False
+        y, self._state = _stream_step(x, self._state, self._p,
+                                      self.sample_rate, self.attack, phase,
+                                      self._structure)
+        return np.asarray(y)
+
+    def flush(self) -> np.ndarray:
+        """Emit the final ``latency_samples`` samples (end-clipped lookahead,
+        matching the offline limiter's track-end behavior)."""
+        if self._done or self._first:
+            self._done = True
+            return np.zeros((0, 2), np.float32)
+        self._done = True
+        y, self._state = _stream_step(
+            jnp.zeros((0, 2), jnp.float32), self._state, self._p,
+            self.sample_rate, self.attack, "flush", self._structure)
+        return np.asarray(y)

@@ -89,7 +89,129 @@ def test_web_ui_served(server):
 
 
 def test_healthz(server):
-    assert _get(server, "/healthz") == {"ok": True}
+    h = _get(server, "/healthz")
+    assert h["ok"] is True
+    assert "queue_depth" in h
+
+
+def test_web_ui_reference_parity(server):
+    """The served page must expose the reference UI's full control set
+    (templates/index.html:188-202 sliders incl. multiband, :39-42 art
+    prompt + auto toggle, MP3 toggle, progress bar, art rendering)."""
+    html = urllib.request.urlopen(server + "/").read().decode()
+    for control in ("bass_boost", "mid_cut", "presence_boost",
+                    "treble_boost", "analog_character", "width", "lufs",
+                    "low_thresh", "low_ratio", "mid_thresh", "mid_ratio",
+                    "high_thresh", "high_ratio", "multiband",
+                    "art_prompt", "auto_generate_prompt", "create_mp3"):
+        assert f'id="{control}"' in html, control
+    assert "<progress" in html
+    assert 'id="art"' in html and "art_url" in html
+
+
+def _run_job(base, tmp_path, name, settings, n=4096):
+    x = make_test_signal("noise", n, 44100) * 0.2
+    p = str(tmp_path / name)
+    write_wav(p, x, 44100)
+    r = _post(base, "/generate-upload-url",
+              {"filename": name, "contentType": "audio/wav"})
+    with open(p, "rb") as f:
+        req = urllib.request.Request(base + r["url"], f.read(),
+                                     method="PUT")
+        urllib.request.urlopen(req).read()
+    r2 = _post(base, "/start-processing",
+               {"gcs_uri": r["gcs_uri"], "settings": settings})
+    return r2["processed_filename"], r2["image_filename"]
+
+
+def _wait_done(base, audio, image, deadline_s=240):
+    deadline = time.time() + deadline_s
+    st = {"status": "processing"}
+    while time.time() < deadline and st["status"] == "processing":
+        st = _get(base, f"/status?audio_filename={audio}"
+                        f"&image_filename={image}")
+        time.sleep(0.3)
+    return st
+
+
+def test_multiband_and_art_settings_reach_graph(tmp_path):
+    """Multiband + art-prompt settings POSTed over HTTP must actually
+    drive the job: they are recorded on the job, and the multiband master
+    differs audibly from a plain one for the same input."""
+    from ame_tpu.serve.server import make_server
+    from ame_tpu.io.wav import read_wav
+
+    srv, store = make_server(host="127.0.0.1", port=0,
+                             workdir=str(tmp_path / "srv"), workers=2)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        mb = {"multiband": True, "low_thresh": -35.0, "low_ratio": 8.0,
+              "mid_thresh": -30.0, "mid_ratio": 6.0,
+              "high_thresh": -30.0, "high_ratio": 8.0,
+              "mode": "compat", "lufs": None, "create_mp3": False,
+              "art_prompt": "a serene mountain at dusk",
+              "auto_generate_prompt": False}
+        a1, i1 = _run_job(base, tmp_path, "one.wav", mb)
+        a2, i2 = _run_job(base, tmp_path, "one.wav",
+                          {"lufs": None, "mode": "compat",
+                           "create_mp3": False})
+        st1 = _wait_done(base, a1, i1)
+        st2 = _wait_done(base, a2, i2)
+        assert st1["status"] == "done", st1
+        assert st2["status"] == "done", st2
+        job = store.job_snapshot(a1)
+        assert job["settings"]["multiband"] is True
+        assert job["settings"]["low_ratio"] == 8.0
+        assert job["settings"]["art_prompt"] == "a serene mountain at dusk"
+        y1, _ = read_wav(store.output_path(a1))
+        y2, _ = read_wav(store.output_path(a2))
+        assert np.abs(y1 - y2).max() > 1e-4  # compressor engaged
+    finally:
+        srv.shutdown()
+
+
+def test_concurrent_jobs_and_status_hammer(tmp_path):
+    """Two jobs run on the worker pool while reader threads hammer /status
+    and /healthz — no torn state, no exceptions, both jobs finish."""
+    from ame_tpu.serve.server import make_server
+
+    srv, store = make_server(host="127.0.0.1", port=0,
+                             workdir=str(tmp_path / "srv2"), workers=2)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        jobs = [_run_job(base, tmp_path, f"j{i}.wav",
+                         {"lufs": None, "create_mp3": False}, n=16384)
+                for i in range(2)]
+        errors = []
+        stop = threading.Event()
+
+        def hammer():
+            while not stop.is_set():
+                try:
+                    for a, i in jobs:
+                        st = _get(base, f"/status?audio_filename={a}"
+                                        f"&image_filename={i}")
+                        assert st["status"] in ("processing", "done",
+                                                "error"), st
+                        assert isinstance(st.get("progress", [0, 1]), list)
+                    _get(base, "/healthz")
+                except Exception as e:  # pragma: no cover
+                    errors.append(e)
+                    return
+
+        readers = [threading.Thread(target=hammer) for _ in range(4)]
+        for t in readers:
+            t.start()
+        sts = [_wait_done(base, a, i) for a, i in jobs]
+        stop.set()
+        for t in readers:
+            t.join(timeout=10)
+        assert not errors, errors
+        assert all(s["status"] == "done" for s in sts), sts
+    finally:
+        srv.shutdown()
 
 
 def test_job_persistence_and_requeue(tmp_path):

@@ -36,8 +36,11 @@ _DEFAULT_WEIGHTS = os.path.join(os.path.dirname(__file__),
 class MoodCNN(nn.Module):
     """Small conv net sized for a 128x128x3 spectrogram image.
 
-    Channel widths are multiples of 32 and the head is one big dense layer —
-    everything lands on the MXU in bf16-friendly shapes."""
+    Channel widths are multiples of 32 — everything lands on the MXU in
+    bf16-friendly shapes. The head is global-average-pool + small dense
+    layers rather than a flattened 32k-wide dense: ~130k parameters total
+    (a ~0.5 MB shippable checkpoint instead of 33 MB) and far less prone
+    to memorizing a small training corpus."""
 
     num_classes: int = len(MOOD_CLASSES)
 
@@ -47,8 +50,8 @@ class MoodCNN(nn.Module):
             x = nn.Conv(feat, (3, 3), padding="SAME")(x)
             x = nn.relu(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = x.reshape((x.shape[0], -1))
-        x = nn.Dense(256)(x)
+        x = jnp.mean(x, axis=(1, 2))  # global average pool -> [B, 128]
+        x = nn.Dense(128)(x)
         x = nn.relu(x)
         if train:
             x = nn.Dropout(0.3, deterministic=False)(x)

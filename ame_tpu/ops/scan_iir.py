@@ -81,10 +81,17 @@ if _MAX_BLOCK & (_MAX_BLOCK - 1):
     # A^(2^l)); round a non-power-of-two override up rather than mis-filter
     _MAX_BLOCK = 1 << _MAX_BLOCK.bit_length()
 
-# Opt-in one-pass Pallas kernel for host-designed multi-section cascades
-# (see ops/pallas_scan.py): 1.4x faster at k=4 and ~1e-7 accurate, but
-# kept off by default until it accumulates soak time.
-_PALLAS_ENABLED = bool(int(_os.environ.get("AME_TPU_PALLAS", "0")))
+# One-pass Pallas kernel for k>=3 cascades (see ops/pallas_scan.py):
+# 1.4-1.5x faster than the XLA scan and ~1e-7 accurate. ON by default on
+# TPU (k<=2 stays on the XLA path — measured faster there); AME_TPU_PALLAS
+# =0/1 forces it off/on regardless of backend.
+_PALLAS_ENV = _os.environ.get("AME_TPU_PALLAS")
+
+
+def _pallas_enabled() -> bool:
+    if _PALLAS_ENV is not None:
+        return bool(int(_PALLAS_ENV))
+    return jax.default_backend() == "tpu"
 
 
 def _pow2ceil(n: int) -> int:
@@ -511,18 +518,18 @@ def sosfilt_scan(sos, x: jax.Array, zi: jax.Array | None = None,
     host_known = isinstance(sos, np.ndarray) or (
         isinstance(sos, jax.Array) and not isinstance(
             sos, jax.core.Tracer))
+    if _route_pallas(sos, x, k):
+        # one-pass Pallas kernel (host f64 packs or in-graph traced
+        # matrices): measured 1.4-1.5x over XLA for k>=3 cascades (k<=2 is
+        # faster on the XLA path — VMEM level passes dominate at small
+        # state dims) and ~1e-7 accurate
+        from ame_tpu.ops.pallas_scan import sosfilt_pallas
+        sos_in = np.asarray(sos, np.float64) if host_known else sos
+        y, zf = sosfilt_pallas(sos_in, x, zi)
+        if axis != 0:
+            y = jnp.moveaxis(y, 0, axis)
+        return y, zf
     if host_known:
-        if (_PALLAS_ENABLED and zi is None and k >= 3 and x.ndim == 2
-                and not isinstance(x, jax.core.Tracer)):
-            # one-pass Pallas kernel: measured 1.5x over XLA for k=4
-            # cascades (k<=2 is faster on the XLA path - VMEM level passes
-            # dominate at small state dims) and ~1e-7 accurate; opt-in via
-            # AME_TPU_PALLAS=1
-            from ame_tpu.ops.pallas_scan import sosfilt_pallas
-            y, zf = sosfilt_pallas(np.asarray(sos, np.float64), x)
-            if axis != 0:
-                y = jnp.moveaxis(y, 0, axis)
-            return y, zf
         # float64-accurate level matrices, f32 values into the graph
         sos_np = np.ascontiguousarray(np.asarray(sos, np.float64))
         pack = _host_pack_cached(sos_np.tobytes(), k, L, x.dtype.name)
@@ -534,6 +541,20 @@ def sosfilt_scan(sos, x: jax.Array, zi: jax.Array | None = None,
     if axis != 0:
         y = jnp.moveaxis(y, 0, axis)
     return y, zf
+
+
+def _route_pallas(sos, x, k: int) -> bool:
+    """Route to the one-pass kernel: k >= 3 (k <= 2 measured faster on the
+    XLA path), 2-D f32 input at least one kernel block long, and not under
+    vmap (pallas_call has no batching rule)."""
+    if not (_pallas_enabled() and k >= 3 and x.ndim == 2
+            and x.dtype == jnp.float32):
+        return False
+    from ame_tpu.ops.pallas_scan import _TB
+    if x.shape[0] < _TB:
+        return False
+    from jax._src.interpreters.batching import BatchTracer
+    return not (isinstance(x, BatchTracer) or isinstance(sos, BatchTracer))
 
 
 def biquad_scan(x: jax.Array, coeffs: jax.Array, zi: jax.Array | None = None,

@@ -1,0 +1,55 @@
+"""Shipped mood-CNN weights: the model must be genuinely trained (round-1
+verdict: seed-0 weights made the mood axis noise) — the checkpoint loads as
+trained, the untrained warning is gone, and held-out synthetic program
+material classifies well above chance."""
+
+import logging
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ame_tpu.models import mood_cnn, synth_corpus
+
+
+@pytest.fixture()
+def fresh_cache(monkeypatch):
+    monkeypatch.setattr(mood_cnn, "_params_cache", None)
+
+
+def test_checkpoint_ships_and_loads_trained(fresh_cache):
+    params, trained = mood_cnn.load_params()
+    assert trained, ("mood_cnn_weights.msgpack missing — the shipped "
+                     "checkpoint must be committed")
+
+
+def test_no_untrained_warning(fresh_cache, caplog, monkeypatch, tmp_path):
+    from ame_tpu.analysis import musicologist as M
+    monkeypatch.setattr(M, "_warned_untrained", False)
+    from ame_tpu.io.wav import write_wav
+    y = synth_corpus.synth_track("Calm/Content", np.random.default_rng(9),
+                                 seconds=8.0)
+    p = tmp_path / "c.wav"
+    write_wav(str(p), y, synth_corpus.SR)
+    with caplog.at_level(logging.WARNING):
+        brief = M.analyze_song(str(p))
+    assert "error" not in brief
+    assert not any("untrained" in r.message for r in caplog.records)
+
+
+def test_held_out_accuracy_above_chance(fresh_cache):
+    """Fresh synthetic tracks (seed unseen in training) must classify well
+    above the 25% chance floor."""
+    from ame_tpu.analysis import musicologist as M
+    params, trained = mood_cnn.load_params()
+    assert trained
+    rng = np.random.default_rng(4242)
+    correct = total = 0
+    for cls in mood_cnn.MOOD_CLASSES:
+        for _ in range(2):
+            y = synth_corpus.synth_track(cls, rng)
+            img = M.spectrogram_image(jnp.asarray(y[:, 0]))
+            pred = mood_cnn.predict_mood(params, jnp.asarray(img))
+            correct += pred == cls
+            total += 1
+    assert correct / total >= 0.75, f"{correct}/{total}"

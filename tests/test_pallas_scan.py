@@ -80,3 +80,43 @@ def _interpret_pallas_call():
         return orig(*args, **kwargs)
 
     return wrapper
+
+
+def test_pallas_traced_coefficients(monkeypatch):
+    """Quality-mode (gain-dependent) cascades route through the kernel with
+    in-graph matrices: a traced 4-section RBJ EQ must match the XLA traced
+    scan bit-closely."""
+    import ame_tpu.ops.pallas_scan as PS
+    import ame_tpu.ops.scan_iir as SI
+    monkeypatch.setattr(PS, "_TB", 1024)
+    from ame_tpu.ops.eq import (_rbj_peaking_coeffs_jnp,
+                                _rbj_shelf_coeffs_jnp)
+    sr = 44100.0
+    sos = jnp.stack([
+        _rbj_shelf_coeffs_jnp(250.0, sr, jnp.float32(3.0), 0.7071, "low"),
+        _rbj_peaking_coeffs_jnp(1000.0, sr, jnp.float32(-2.0), 1.41),
+        _rbj_peaking_coeffs_jnp(4000.0, sr, jnp.float32(1.5), 1.41),
+        _rbj_shelf_coeffs_jnp(8000.0, sr, jnp.float32(2.0), 0.7071, "high"),
+    ])
+    x = jnp.asarray(make_test_signal("noise", 3000, 44100) * 0.3)
+    y_pal, zf_pal = PS.sosfilt_pallas(sos, x)
+    y_xla, zf_xla = SI._cascade_ks_traced(x, sos, None, 128, 4)
+    assert np.abs(np.asarray(y_pal) - np.asarray(y_xla)).max() < 1e-4
+    assert np.abs(np.asarray(zf_pal) - np.asarray(zf_xla)).max() < 1e-4
+
+
+def test_pallas_zi_handoff(monkeypatch):
+    """Splitting a stream at an arbitrary point with zi/zf handoff through
+    the kernel must equal the continuous run."""
+    import ame_tpu.ops.pallas_scan as PS
+    monkeypatch.setattr(PS, "_TB", 1024)
+    from scipy.signal import butter
+    sos = butter(6, 2000.0, btype="lowpass", fs=44100, output="sos")
+    x = (make_test_signal("noise", 4000, 44100) * 0.3).astype(np.float32)
+    y_full, zf_full = PS.sosfilt_pallas(sos, jnp.asarray(x))
+    cut = 2600  # not a TB multiple on either side
+    y1, zf1 = PS.sosfilt_pallas(sos, jnp.asarray(x[:cut]))
+    y2, zf2 = PS.sosfilt_pallas(sos, jnp.asarray(x[cut:]), zi=zf1)
+    glued = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=0)
+    assert np.abs(glued - np.asarray(y_full)).max() < 1e-5
+    assert np.abs(np.asarray(zf2) - np.asarray(zf_full)).max() < 1e-5

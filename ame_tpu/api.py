@@ -71,7 +71,6 @@ def master_file(input_file: str, output_file: str,
 
     log_memory_usage("Pipeline Start")
     status_callback("Loading audio into device memory...")
-    progress_callback(0, 100)
     audio, sr = read_audio(input_file)
     log_memory_usage("After Decode")
 
@@ -84,6 +83,10 @@ def master_file(input_file: str, output_file: str,
     n = audio.shape[0]
     num_chunks = max(int(math.ceil(n / (COMPAT_CHUNK_SECONDS * sr))), 1)
     total_steps = num_chunks + 4
+    # the reference's progress unit is (step, num_chunks + 4) from the very
+    # first emission (engine:184-187) — never emit a different denominator,
+    # or a GUI keyed to the contract sees the unit change mid-job
+    progress_callback(0, total_steps)
 
     # Shape bucketing: pad to the next {2^k, 1.5*2^k} length so tracks of
     # similar duration share one compiled program (every stage is causal and

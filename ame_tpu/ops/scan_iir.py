@@ -585,6 +585,44 @@ def lfilter_scan(b, a, x: jax.Array, axis: int = 0) -> jax.Array:
     return y
 
 
+def zero_input_response(sos_np: np.ndarray, zi: jax.Array, n: int):
+    """y[0..n-1] for ZERO input from initial state ``zi`` (scipy layout
+    [k, *tr, 2]): y[m] = Crow · A^m · s0. This is the superposition term
+    that seeds a zero-state scan result with a nonzero start state —
+    parallel/sequence.py adds it to each shard's local zero-state output
+    instead of re-scanning the shard (round-1 weak item: 2x work).
+
+    Host-designed coefficients only (uses the float64 matrix pack).
+    O(n·D) work — about one of the ~7 level passes of a full scan.
+    """
+    k = int(np.shape(sos_np)[0])
+    D = 2 * k
+    L = min(_MAX_BLOCK, _pow2ceil(n))
+    sos64 = np.ascontiguousarray(np.asarray(sos_np, np.float64))
+    pack = _host_pack_cached(sos64.tobytes(), k, L, zi.dtype.name)
+    (levels, carry_levels, T, w, A, B, Crow, dpass, Vf, Vi) = pack
+    dt = zi.dtype
+    tr = zi.shape[1:-1]
+
+    # scipy zi -> internal (coupled) state vector [D, *tr]
+    c = _ein("kab,kb...->ka...", jnp.asarray(Vi, dt),
+             jnp.moveaxis(zi, -1, 1)).reshape((D,) + tr)
+
+    NB = -(-n // L)
+    # V[b] = (A^L)^b c via binary decomposition of b over the precomputed
+    # (A^L)^(2^j) carry levels — log2(NB) masked matvecs on tiny arrays
+    V = jnp.broadcast_to(c[None], (NB,) + c.shape)
+    bits = np.arange(NB)
+    for j in range(max(int(NB - 1).bit_length(), 0)):
+        Mj = jnp.asarray(carry_levels[j], dt)
+        sel = jnp.asarray((bits >> j) & 1, bool).reshape(
+            (NB,) + (1,) * (c.ndim))
+        V = jnp.where(sel, _ein("jm,bm...->bj...", Mj, V), V)
+
+    y = _ein("lm,bm...->bl...", jnp.asarray(w, dt), V)
+    return y.reshape((NB * L,) + tr)[:n]
+
+
 def sosfilt_chunked(sos, x: jax.Array, chunk_len: int) -> jax.Array:
     """sosfilt with the filter state RESET every ``chunk_len`` samples along
     axis 0 — compat emulation of the reference's 30 s segment pipeline, where

@@ -54,7 +54,10 @@ def test_process_audio_success_contract(track, tmp_path):
     ame_tpu.process_audio(settings, *log.cb())
     assert any("Success:" in s for s in log.status)
     assert not any("Error:" in s for s in log.status)
-    # progress must end at (total, total)
+    # progress must end at (total, total), and the denominator must be
+    # num_chunks + 4 from the FIRST emission (the reference's unit,
+    # engine:184-187 — no mid-job unit change)
+    assert len({t for _, t in log.progress}) == 1
     cur, total = log.progress[-1]
     assert cur == total
     # art callback fired with None (no provider in this env)

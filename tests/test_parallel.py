@@ -43,6 +43,24 @@ def test_sequence_parallel_matches_single_device():
     np.testing.assert_allclose(y_sp, np.asarray(y_1), atol=2e-5)
 
 
+def test_sequence_parallel_non_pow2_shards():
+    """Shard lengths no longer need to be powers of two (the A^{local_n}
+    composition happens on the host in float64)."""
+    from ame_tpu.parallel.sequence import sosfilt_sequence_parallel
+    from ame_tpu.ops.scan_iir import sosfilt_scan
+    from ame_tpu.dsp import design
+    mesh = make_mesh({"sp": 8})
+    n = 1000 * 8  # local_n = 1000, not a power of two
+    x = jnp.asarray(make_test_signal("sweep", n, 44100) * 0.3)
+    sos = design.butter_sos(4, 4000.0, "highpass", fs=44100)
+    y_sp = np.asarray(sosfilt_sequence_parallel(sos, x, mesh, axis="sp"))
+    y_1, _ = sosfilt_scan(sos, x)
+    np.testing.assert_allclose(y_sp, np.asarray(y_1), atol=2e-5)
+    # boundary continuity: no spike right after a shard boundary
+    err = np.abs(y_sp - np.asarray(y_1)).max(axis=-1)
+    assert err[1000:1032].max() <= max(err.max(), 1e-7)
+
+
 def test_sharded_train_step_runs_and_learns():
     from ame_tpu.parallel.train import make_sharded_train_step
     from ame_tpu.models import mood_cnn

@@ -36,11 +36,11 @@ def _crossover_compat(x, sample_rate, chunk_len=None):
 
 
 def _compress_band(band_float, sample_rate, thresh, ratio, exact, chunk_len):
-    """Quantize to int16 (Q5) then pydub-compress; returns int16-valued."""
+    """Quantize to int16 (Q5) then pydub-compress; returns int16-valued.
+    Only the fast (clamp-approximation) path routes here — exact goes
+    through the batched multi-band entry points above this call site."""
     band_int = quantize.float_to_int16(band_float)
     if exact:
-        # chunked exact runs under vmap below -> pin the scan gain path
-        # (pallas_call has no batching rule)
         fn = partial(compressor.pydub_compress_exact,
                      force_scan=chunk_len is not None)
     else:
@@ -62,13 +62,18 @@ def multiband_compat(x: jax.Array, sample_rate: float, threshs: jax.Array,
     """x: [N, 2] float (int16-grid values, as the reference receives from an
     AudioSegment). Returns float in int16 grid (value/32768)."""
     low, mid, high = _crossover_compat(x, sample_rate, chunk_len)
-    if exact and chunk_len is None:
-        # one batched gain pass for all 3 bands (exact at any length)
+    if exact:
+        # one batched gain pass for all 3 bands (exact at any length);
+        # chunked mode resets detector + gain state at chunk boundaries
         band_ints = [quantize.float_to_int16(b) for b in (low, mid, high)]
-        outs = compressor.pydub_compress_exact_multi(
-            band_ints, sample_rate,
-            [threshs[0], threshs[1], threshs[2]],
-            [ratios[0], ratios[1], ratios[2]])
+        ths = [threshs[0], threshs[1], threshs[2]]
+        ras = [ratios[0], ratios[1], ratios[2]]
+        if chunk_len is None:
+            outs = compressor.pydub_compress_exact_multi(
+                band_ints, sample_rate, ths, ras)
+        else:
+            outs = compressor.pydub_compress_exact_multi_chunked(
+                band_ints, sample_rate, ths, ras, chunk_len)
     else:
         outs = []
         for i, band in enumerate((low, mid, high)):

@@ -120,6 +120,35 @@ def pydub_compress_exact(x_int: jax.Array, sample_rate: float, threshold_db,
     return _apply_attenuation_int(x_int, att)
 
 
+def pydub_compress_exact_multi_chunked(bands, sample_rate: float, threshs,
+                                       ratios, chunk_len: int,
+                                       attack_ms: float = 5.0,
+                                       release_ms: float = 50.0,
+                                       force_scan: bool = False):
+    """Chunked-compat exact compression (quirk Q6): both the detector
+    window AND the gain state reset at every ``chunk_len`` boundary, as a
+    fresh per-chunk pydub call would. The detector vmaps over chunk rows
+    (fully parallel); the gain runs through pydub_gain's reset-aware
+    two-pass kernel — the old vmapped 1.3M-step lax.scan cost seconds on
+    TPU."""
+    from ame_tpu.ops.pydub_gain import pydub_gain_chunked
+    n = bands[0].shape[0]
+    c = bands[0].shape[1]
+    nc = -(-n // chunk_len)
+    ms = []
+    for i, band in enumerate(bands):
+        bi = jnp.pad(band, ((0, nc * chunk_len - n), (0, 0)))
+        bi = bi.reshape(nc, chunk_len, c)
+        det = jax.vmap(lambda xb, t=threshs[i], r=ratios[i]: pydub_detector(
+            xb, sample_rate, t, r, attack_ms)[1])(bi)
+        ms.append(det.reshape(-1)[:n])
+    atts = pydub_gain_chunked(ms, attack_ms * sample_rate / 1000.0,
+                              release_ms * sample_rate / 1000.0, chunk_len,
+                              force_scan=force_scan)
+    return [_apply_attenuation_int(bands[g], atts[g])
+            for g in range(len(bands))]
+
+
 def pydub_compress_exact_multi(bands, sample_rate: float, threshs, ratios,
                                attack_ms: float = 5.0,
                                release_ms: float = 50.0):

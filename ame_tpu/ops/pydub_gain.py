@@ -54,6 +54,7 @@ from __future__ import annotations
 import functools
 import os
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -95,15 +96,32 @@ def _gain_scan(m, scal):
     return ys
 
 
+@jax.jit
+def _gain_scan_reset(m, resets, scal):
+    """Like _gain_scan but the state zeroes wherever resets[n] == 1 (the
+    30 s chunk-boundary emulation, quirk Q6)."""
+    inv_a, inv_r = scal[0, 0], scal[0, 1]
+
+    def step(att, inp):
+        mt, rt = inp
+        att = _update(att * (1.0 - rt), mt, inv_a, inv_r)
+        return att, att
+
+    _, ys = jax.lax.scan(step, jnp.zeros((m.shape[1],), m.dtype),
+                         (m, resets))
+    return ys
+
+
 # ---------------------------------------------------------------------------
 # Pass 1: sequential SMEM walk emitting every K-th state
 # ---------------------------------------------------------------------------
 
 def _p1_kernel(*refs, G, TB, K):
     m_refs = refs[:G]
-    s_ref = refs[G]
-    o_ref = refs[G + 1]
-    att_ref = refs[G + 2]
+    r_ref = refs[G]      # [1, TB//K] per-group reset flags (chunk starts)
+    s_ref = refs[G + 1]
+    o_ref = refs[G + 2]
+    att_ref = refs[G + 3]
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -115,7 +133,9 @@ def _p1_kernel(*refs, G, TB, K):
 
     def body(s, atts):
         atts = list(atts)
+        keep = 1.0 - r_ref[0, s]  # reset BEFORE the group start is recorded
         for g in range(G):
+            atts[g] = atts[g] * keep
             o_ref[g, s] = atts[g]  # state BEFORE this K-group's first sample
         for j in range(K):  # static unroll; G chains interleave per step
             for g in range(G):
@@ -129,9 +149,10 @@ def _p1_kernel(*refs, G, TB, K):
         att_ref[0, g] = atts[g]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
-def _p1(G, ms, scal, interpret):
-    """ms: tuple of G arrays [1, NP] (NP a multiple of _TB).
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def _p1(G, ms, resets, scal, interpret):
+    """ms: tuple of G arrays [1, NP] (NP a multiple of _TB); resets:
+    [1, NP // _K] 0/1 flags (state zeroed at flagged group starts).
     Returns [G, NP // _K] states at every K-th sample."""
     np_ = ms[0].shape[1]
     nb = np_ // _TB
@@ -142,14 +163,16 @@ def _p1(G, ms, scal, interpret):
         grid=(nb,),
         in_specs=[pl.BlockSpec((1, _TB), lambda i: (0, i),
                                memory_space=pltpu.SMEM)] * G +
-                 [pl.BlockSpec((1, 2), lambda i: (0, 0),
+                 [pl.BlockSpec((1, sk), lambda i: (0, i),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, 2), lambda i: (0, 0),
                                memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec((G, sk), lambda i: (0, i),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((G, np_ // _K), jnp.float32),
         scratch_shapes=[pltpu.SMEM((1, G), jnp.float32)],
         interpret=bool(interpret),
-    )(*ms, scal)
+    )(*ms, resets, scal)
 
 
 # ---------------------------------------------------------------------------
@@ -250,13 +273,69 @@ def pydub_gain_multi(ms, attack_frames: float, release_frames: float,
     npad = -(-n // blk) * blk
     # zero padding = below-threshold freeze: exact, and trimmed afterwards
     m1 = tuple(jnp.pad(m, (0, npad - n)).reshape(1, npad) for m in ms)
-    starts = _p1(G, m1, scal, bool(interpret))  # [G, npad // _K]
+    resets = jnp.zeros((1, npad // _K), jnp.float32)
+    return [a[:n] for a in _two_pass(G, m1, resets, scal, interpret)]
+
+
+def _two_pass(G, m1, resets, scal, interpret):
+    npad = m1[0].shape[1]
+    starts = _p1(G, m1, resets, scal, bool(interpret))  # [G, npad // _K]
     outs = []
     for g in range(G):
         att = _p2(m1[g].reshape(npad // _K, _K), starts[g:g + 1], scal,
                   bool(interpret))
-        outs.append(att.reshape(npad)[:n])
+        outs.append(att.reshape(npad))
     return outs
+
+
+def pydub_gain_chunked(ms, attack_frames: float, release_frames: float,
+                       chunk_len: int, interpret: bool | None = None,
+                       force_scan: bool = False):
+    """Exact pydub attenuation with the state RESET every ``chunk_len``
+    samples — the reference's 30 s segment emulation (quirk Q6,
+    audio_mastering_engine.py:178, 185-204).
+
+    Two-pass path: each chunk is padded up to a K-group boundary (zero
+    padding freezes, and the next chunk's flagged group start zeroes the
+    state), so resets land exactly on group starts and pass 2 needs no
+    changes. ms: list of G [N] arrays; returns list of G [N] arrays.
+    """
+    G = len(ms)
+    n = ms[0].shape[0]
+    scal = jnp.asarray(
+        [[1.0 / float(attack_frames), 1.0 / float(release_frames)]],
+        jnp.float32)
+    nc = -(-n // chunk_len)
+
+    use_two_pass = not force_scan and (
+        interpret is True or
+        (jax.default_backend() == "tpu" and n > _SCAN_MAX))
+    if not use_two_pass:
+        r = np.zeros(n, np.float32)
+        r[::chunk_len] = 1.0
+        att = _gain_scan_reset(jnp.stack(ms, axis=1),
+                               jnp.asarray(r)[:, None], scal)
+        return [att[:, g] for g in range(G)]
+
+    cpad = -(-chunk_len // _K) * _K          # chunk rounded to K groups
+    blk = max(_TB, _BR * _K)
+    npad = -(-(nc * cpad) // blk) * blk
+    gpad = npad // _K
+
+    def relay(m):
+        rows = jnp.pad(m, (0, nc * chunk_len - n)).reshape(nc, chunk_len)
+        rows = jnp.pad(rows, ((0, 0), (0, cpad - chunk_len)))
+        return jnp.pad(rows.reshape(-1), (0, npad - nc * cpad))[None]
+
+    m1 = tuple(relay(m) for m in ms)
+    r = np.zeros(gpad, np.float32)
+    r[np.arange(nc) * (cpad // _K)] = 1.0
+    outs = _two_pass(G, m1, jnp.asarray(r)[None], scal, interpret)
+    res = []
+    for att in outs:
+        rows = att[:nc * cpad].reshape(nc, cpad)[:, :chunk_len]
+        res.append(rows.reshape(-1)[:n])
+    return res
 
 
 def pydub_gain(m, attack_frames: float, release_frames: float,

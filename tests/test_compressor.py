@@ -146,3 +146,53 @@ def test_exact_multi_matches_per_band():
     for b, t, r, got in zip(bands, threshs, ratios, multi):
         want = compressor.pydub_compress_exact(b, SR, t, r)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_chunked_gain_matches_per_chunk():
+    """pydub_gain_chunked == independent per-chunk runs (the reference's
+    fresh pydub state per 30 s segment), on both the scan and the
+    reset-aware two-pass paths."""
+    from ame_tpu.ops import pydub_gain as pg
+    rng = np.random.default_rng(11)
+    chunk = 1500  # NOT a multiple of the K-group size
+    n = 4 * chunk + 321
+    m = np.maximum(rng.normal(1.0, 3.0, (n, 2)), 0.0).astype(np.float32)
+    m[rng.random((n, 2)) < 0.5] = 0.0
+    ms = [jnp.asarray(m[:, g]) for g in range(2)]
+
+    # ground truth: run each chunk independently from zero state
+    want = np.empty_like(m)
+    for c0 in range(0, n, chunk):
+        seg = m[c0:c0 + chunk]
+        att = pg._gain_scan(jnp.asarray(seg),
+                            jnp.asarray([[1 / 220.5, 1 / 2205.0]],
+                                        jnp.float32))
+        want[c0:c0 + chunk] = np.asarray(att)
+
+    got_scan = pg.pydub_gain_chunked(ms, 220.5, 2205.0, chunk,
+                                     force_scan=True)
+    got_scan = np.stack([np.asarray(a) for a in got_scan], 1)
+    np.testing.assert_allclose(got_scan, want, atol=1e-6, rtol=0)
+
+    got_tp = pg.pydub_gain_chunked(ms, 220.5, 2205.0, chunk,
+                                   interpret=True)
+    got_tp = np.stack([np.asarray(a) for a in got_tp], 1)
+    np.testing.assert_allclose(got_tp, want, atol=1e-5, rtol=0)
+
+
+def test_chunked_exact_multiband_matches_vmap_reference():
+    """The batched chunked-exact compressor equals per-chunk independent
+    pydub_compress_exact calls (detector AND gain both reset)."""
+    chunk = 2000
+    x = _program(n=3 * chunk + 700)
+    x_int = jnp.asarray(oracles.float_to_int16(x).astype(np.float32))
+    n = x_int.shape[0]
+    want = np.empty((n, 2), np.float32)
+    for c0 in range(0, n, chunk):
+        seg = x_int[c0:c0 + chunk]
+        want[c0:c0 + chunk] = np.asarray(
+            compressor.pydub_compress_exact(seg, SR, -20.0, 4.0))
+    (got,) = compressor.pydub_compress_exact_multi_chunked(
+        [x_int], SR, [-20.0], [4.0], chunk)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2.0, rtol=0)
+    assert np.median(np.abs(np.asarray(got) - want)) == 0.0

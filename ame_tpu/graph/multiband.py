@@ -26,8 +26,14 @@ def _crossover_compat(x, sample_rate, chunk_len=None):
     high_sos = design.butter_sos(4, C.MB_HIGH_CROSSOVER_HZ, "highpass",
                                  fs=sample_rate)
     if chunk_len is None:
-        low, _ = sosfilt_scan(low_sos, x)
-        high, _ = sosfilt_scan(high_sos, x)
+        from ame_tpu.ops.scan_iir import _route_tileconv
+        if _route_tileconv(x):
+            # both crossover filters share the input: one fused MXU pass
+            from ame_tpu.ops.tile_conv import sosfilt_tileconv_bank
+            low, high = sosfilt_tileconv_bank([low_sos, high_sos], x)
+        else:
+            low, _ = sosfilt_scan(low_sos, x)
+            high, _ = sosfilt_scan(high_sos, x)
     else:
         low = sosfilt_chunked(low_sos, x, chunk_len)
         high = sosfilt_chunked(high_sos, x, chunk_len)
@@ -89,6 +95,8 @@ def multiband_quality(x: jax.Array, sample_rate: float, threshs, ratios,
                       release_ms: float = 50.0) -> jax.Array:
     """Linkwitz-Riley LR4 crossover (flat magnitude sum — fixes Q4), f32
     throughout (fixes Q5/Q7), quality compressor per band."""
+    import numpy as np
+
     lo_sos = design.linkwitz_riley_sos(4, C.MB_LOW_CROSSOVER_HZ, "lowpass",
                                        sample_rate)
     lo_hp = design.linkwitz_riley_sos(4, C.MB_LOW_CROSSOVER_HZ, "highpass",
@@ -97,10 +105,20 @@ def multiband_quality(x: jax.Array, sample_rate: float, threshs, ratios,
                                        sample_rate)
     hi_lp = design.linkwitz_riley_sos(4, C.MB_HIGH_CROSSOVER_HZ, "lowpass",
                                       sample_rate)
-    low, _ = sosfilt_scan(lo_sos, x)
-    rest, _ = sosfilt_scan(lo_hp, x)
-    high, _ = sosfilt_scan(hi_sos, rest)
-    mid, _ = sosfilt_scan(hi_lp, rest)
+    from ame_tpu.ops.scan_iir import _route_tileconv
+    if _route_tileconv(x):
+        # all three bands as cascades straight off x (mid = LP4k∘HP250,
+        # high = HP4k∘HP250 — cascade composition is exact), fused into
+        # ONE MXU pass: 4 sequential scans become one bank call
+        from ame_tpu.ops.tile_conv import sosfilt_tileconv_bank
+        low, mid, high = sosfilt_tileconv_bank(
+            [lo_sos, np.concatenate([lo_hp, hi_lp]),
+             np.concatenate([lo_hp, hi_sos])], x)
+    else:
+        low, _ = sosfilt_scan(lo_sos, x)
+        rest, _ = sosfilt_scan(lo_hp, x)
+        high, _ = sosfilt_scan(hi_sos, rest)
+        mid, _ = sosfilt_scan(hi_lp, rest)
     # one stacked gain pipeline for all three bands (detector + release +
     # attack scans run once on [N, 3] instead of three times)
     comp = compressor.compress_quality_multi(

@@ -27,14 +27,17 @@ Two key structural choices, both driven by compile time and HBM traffic:
    Kogge-Stone prefix over N/L elements (_carry_prefix), and an in-graph
    𝔸^k table applies it — graph size is INDEPENDENT of N.
 
-Three execution paths, chosen in ``sosfilt_scan``:
-  * traced coefficients (quality mode's gain-dependent RBJ filters):
-    in-graph matrices (_cascade_ks_traced);
-  * host-designed numpy coefficients: float64-precomputed matrices enter
-    as values (_cascade_ks_pack) — stable even for the reference's
-    near-defective Nyquist-clamped filters;
-  * AME_TPU_PALLAS=1 + host-known k>=3: the one-pass Pallas kernel
-    (ops/pallas_scan.py; k<=2 measured faster on the XLA path).
+Execution paths, chosen in ``sosfilt_scan`` (AME_TPU_IIR selects):
+  * DEFAULT: the MXU tile-convolution engine (ops/tile_conv.py) for 2-D
+    f32 inputs, host-designed or traced — measured 15-70x faster than
+    the level-pass scans below at any cascade order;
+  * XLA Kogge-Stone scan for everything else (3-D chunked columns,
+    non-f32), with traced coefficients building in-graph matrices
+    (_cascade_ks_traced) and host-designed numpy coefficients entering
+    as float64-precomputed values (_cascade_ks_pack) — stable even for
+    the reference's near-defective Nyquist-clamped filters;
+  * the one-pass Pallas kernel (ops/pallas_scan.py) for host-known k>=3
+    when selected via AME_TPU_IIR=pallas / AME_TPU_PALLAS=1.
 
 Per-section state convention matches ``scipy.signal.sosfilt``'s ``zi``
 exactly; coefficients/zi are traced arguments, so one compile per input
@@ -81,14 +84,23 @@ if _MAX_BLOCK & (_MAX_BLOCK - 1):
     # A^(2^l)); round a non-power-of-two override up rather than mis-filter
     _MAX_BLOCK = 1 << _MAX_BLOCK.bit_length()
 
-# One-pass Pallas kernel for k>=3 cascades (see ops/pallas_scan.py):
-# 1.4-1.5x faster than the XLA scan and ~1e-7 accurate. ON by default on
-# TPU (k<=2 stays on the XLA path — measured faster there); AME_TPU_PALLAS
-# =0/1 forces it off/on regardless of backend.
+# IIR engine selection. Default "tileconv": the MXU tile-convolution
+# engine (ops/tile_conv) — measured 15-70x over the level-pass scans on
+# v5e at any cascade order (benchmarks/bench_scan_paths.py). "pallas"
+# restores the one-pass Pallas kernel routing (k >= 3), "xla" forces the
+# blocked Kogge-Stone scan everywhere. Non-2-D/non-f32 inputs always use
+# the XLA scan.
+_IIR_ENGINE = _os.environ.get("AME_TPU_IIR", "tileconv")
+
+# Legacy knob for the Pallas kernel (applies when tile-conv declines an
+# input shape): AME_TPU_PALLAS=0/1 forces it off/on; default on only on
+# TPU.
 _PALLAS_ENV = _os.environ.get("AME_TPU_PALLAS")
 
 
 def _pallas_enabled() -> bool:
+    if _IIR_ENGINE == "pallas":
+        return True
     if _PALLAS_ENV is not None:
         return bool(int(_PALLAS_ENV))
     return jax.default_backend() == "tpu"
@@ -518,6 +530,16 @@ def sosfilt_scan(sos, x: jax.Array, zi: jax.Array | None = None,
     host_known = isinstance(sos, np.ndarray) or (
         isinstance(sos, jax.Array) and not isinstance(
             sos, jax.core.Tracer))
+    if _route_tileconv(x):
+        # MXU tile-convolution engine (ops/tile_conv): measured 15-70x
+        # over the level-pass scans at any cascade order, ~1e-7 accurate
+        from ame_tpu.ops.tile_conv import sosfilt_tileconv
+        sos_in = (np.ascontiguousarray(np.asarray(sos, np.float64))
+                  if host_known else sos)
+        y, zf = sosfilt_tileconv(sos_in, x, zi)
+        if axis != 0:
+            y = jnp.moveaxis(y, 0, axis)
+        return y, zf
     if _route_pallas(sos, x, k):
         # one-pass Pallas kernel (host f64 packs or in-graph traced
         # matrices): measured 1.4-1.5x over XLA for k>=3 cascades (k<=2 is
@@ -543,10 +565,20 @@ def sosfilt_scan(sos, x: jax.Array, zi: jax.Array | None = None,
     return y, zf
 
 
+def _route_tileconv(x) -> bool:
+    """Route to the MXU tile-conv engine (ops/tile_conv) — the default for
+    2-D f32 inputs on every backend. AME_TPU_IIR=pallas|xla opts into the
+    older engines (kept for differential testing and as fallbacks)."""
+    return (_IIR_ENGINE == "tileconv" and x.ndim == 2
+            and x.dtype == jnp.float32)
+
+
 def _route_pallas(sos, x, k: int) -> bool:
     """Route to the one-pass kernel: k >= 3 (k <= 2 measured faster on the
     XLA path), 2-D f32 input at least one kernel block long, and not under
     vmap (pallas_call has no batching rule)."""
+    if _IIR_ENGINE == "xla":
+        return False
     if not (_pallas_enabled() and k >= 3 and x.ndim == 2
             and x.dtype == jnp.float32):
         return False

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ame_tpu.dsp import design
-from ame_tpu.ops.scan_iir import sosfilt_scan
+from ame_tpu.ops.scan_iir import _ein, sosfilt_scan
 
 
 # ---------------------------------------------------------------------------
@@ -140,38 +140,61 @@ def _tp_filterbank() -> np.ndarray:
     return h.reshape(tpp, factor).T.copy()  # [factor, tpp]
 
 
-@jax.jit
-def _true_peak_jit(x, bank):
-    """x: [N, C]; bank: [factor, tpp]. Max |value| over the 4x-upsampled
-    signal, via one depthwise convolution (lowered to the MXU)."""
-    n, c = x.shape
+_TP_LB = 128  # tile length for the matmul formulation
+
+
+def _tp_tile_matrix() -> np.ndarray:
+    """[factor*LB, 2*LB] matrix computing all `factor` interpolation phases
+    of one 128-sample tile from (previous tile | current tile) columns:
+
+        out[p*LB + t] = sum_tau bank[p, tau] * xcat[LB + t - tau]
+
+    The depthwise-conv formulation of the same FIR lowers catastrophically
+    on this hardware (feature_group_count=C with C=2 — measured 38.8 ms at
+    2^23 samples); as a dense tile matmul it is MXU work like the
+    tile-conv IIR engine (ops/tile_conv.py) and runs in ~2 ms."""
+    bank = _tp_filterbank()  # [factor, tpp]
     factor, tpp = bank.shape
-    lhs = x.T[None]  # [1, C, N]
-    # depthwise: each input channel produces `factor` phase outputs
-    rhs = jnp.tile(bank[:, None, :], (c, 1, 1))  # [C*factor, 1, tpp]
-    out = jax.lax.conv_general_dilated(
-        lhs, rhs,
-        window_strides=(1,),
-        padding=[(tpp - 1, 0)],
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        feature_group_count=c,
-        preferred_element_type=x.dtype,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return jnp.maximum(jnp.max(jnp.abs(out)), jnp.max(jnp.abs(x)))
+    M = np.zeros((factor * _TP_LB, 2 * _TP_LB))
+    for p in range(factor):
+        for t in range(_TP_LB):
+            for tau in range(tpp):
+                M[p * _TP_LB + t, _TP_LB + t - tau] = bank[p, tau]
+    return M
 
 
-_bank_np = None
+@partial(jax.jit, static_argnums=(2,))
+def _true_peak_jit(x, M, n_valid_static):
+    """x: [N, C]; M: [factor*LB, 2*LB]. Max |value| over the 4x-upsampled
+    signal via one overlapped-tile matmul."""
+    n, c = x.shape
+    Lb = _TP_LB
+    nb = -(-n // Lb)
+    # pad one leading tile (zero FIR history) + tail to a tile multiple
+    xp = jnp.pad(x, ((Lb, nb * Lb - n), (0, 0)))
+    xt = xp.reshape(nb + 1, Lb, c)
+    xcat = jnp.concatenate([xt[:-1], xt[1:]], axis=1)   # [nb, 2*LB, C]
+    out = _ein("vu,buc->bvc", M, xcat)                  # [nb, factor*LB, C]
+    # mask interpolants of the zero tail padding (their inputs include real
+    # samples, but they are not part of the track)
+    t_in_tile = jnp.arange(M.shape[0]) % Lb
+    sample_n = jnp.arange(nb)[:, None] * Lb + t_in_tile[None, :]
+    valid = (sample_n < n_valid_static)[:, :, None]
+    peak_os = jnp.max(jnp.where(valid, jnp.abs(out), 0.0))
+    return jnp.maximum(peak_os, jnp.max(jnp.abs(x)))
+
+
+_tp_mat_np = None
 
 
 def true_peak(x: jax.Array) -> jax.Array:
     """Linear-scale true peak of [N, C] audio (BS.1770 4x oversampling)."""
-    global _bank_np
-    if _bank_np is None:
-        _bank_np = _tp_filterbank()
+    global _tp_mat_np
+    if _tp_mat_np is None:
+        _tp_mat_np = _tp_tile_matrix()
     # numpy is cached; the device constant is created per call so a traced
     # value is never captured across jit traces
-    return _true_peak_jit(x, jnp.asarray(_bank_np, x.dtype))
+    return _true_peak_jit(x, jnp.asarray(_tp_mat_np, x.dtype), x.shape[0])
 
 
 def true_peak_db(x: jax.Array) -> jax.Array:

@@ -54,10 +54,56 @@ def sliding_max_ahead(x: jax.Array, w: int) -> jax.Array:
     return -sliding_min_ahead(-x, w)
 
 
+_LB = 128  # tile length for the matmul formulations
+
+# Banded tile matrices are tiny and shape-keyed; cache the numpy builds.
+import functools as _functools
+
+import numpy as _np
+
+
+@_functools.lru_cache(maxsize=64)
+def _moving_sum_matrix(w: int, p: int, dt_name: str) -> _np.ndarray:
+    """[LB, (p+1)*LB] 0/1 band: out[t] sums xcat[v] for
+    p*LB + t - w + 1 <= v <= p*LB + t (xcat = p lead tiles | current)."""
+    Lb = _LB
+    t = _np.arange(Lb)[:, None]
+    v = _np.arange((p + 1) * Lb)[None, :]
+    hi = p * Lb + t
+    return ((v <= hi) & (v >= hi - w + 1)).astype(_np.dtype(dt_name))
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _moving_sum_tiles(x: jax.Array, w: int) -> jax.Array:
+    """Tile-matmul moving sum (see ops/tile_conv.py for why matmuls beat
+    level passes here): the rectangular window is a banded [LB, (p+1)*LB]
+    matrix applied to (p lead tiles | current tile) columns — one MXU
+    einsum, ~(p+1)*LB MACs/sample. Start clipping falls out of the zero
+    lead padding. Measured 16 ms -> ~1 ms at w=220 on [2^23, 3] (v5e)."""
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    n, c = x.shape
+    Lb = _LB
+    p = -(-(w - 1) // Lb)
+    nb = -(-n // Lb)
+    xp = jnp.pad(x, ((p * Lb, nb * Lb - n), (0, 0)))
+    xt = xp.reshape(nb + p, Lb, c)
+    xcat = jnp.concatenate([xt[i:i + nb] for i in range(p + 1)], axis=1)
+    M = jnp.asarray(_moving_sum_matrix(w, p, x.dtype.name), x.dtype)
+    y = jnp.einsum("tv,bvc->btc", M, xcat,
+                   precision=jax.lax.Precision.HIGHEST)
+    y = y.reshape(nb * Lb, c)[:n]
+    return y[:, 0] if squeeze else y
+
+
 @partial(jax.jit, static_argnums=(1,))
 def moving_sum_past(x: jax.Array, w: int) -> jax.Array:
     """y[n] = sum of x[max(0, n-w+1) .. n] along axis 0 (window clipped at
-    the start)."""
+    the start). Small windows (detector/attack scales) go through the
+    tile-matmul path; larger ones use the van Herk block scans."""
+    if w <= 8 * _LB:
+        return _moving_sum_tiles(x, w)
     xb, n = _pad_to_blocks(x, w, 0.0)
     pre = jnp.cumsum(xb, axis=1)
     suf = jnp.flip(jnp.cumsum(jnp.flip(xb, axis=1), axis=1), axis=1)
@@ -106,12 +152,18 @@ def _shift_right_fill(x, k, axis, fill):
 
 @jax.jit
 def release_scan(u: jax.Array, decay: float | jax.Array) -> jax.Array:
-    """y[n] = max(u[n], decay * y[n-1]) — exponential-release envelope in the
-    (multiply, max) semiring, as a blocked Kogge-Stone scan with constant
-    per-level decay factors (graph size independent of N; y[-1] = 0)."""
+    """y[n] = max(u[n], decay * y[n-1]) — exponential-release envelope in
+    the (multiply, max) semiring (y[-1] = 0; u assumed >= 0).
+
+    Blocked Kogge-Stone with SHORT blocks (L = 128): log2(L) level passes
+    over the full array dominate the cost, so fewer levels win; the
+    block-boundary carry c[b+1] = max(e[b], decay^L c[b]) is itself a
+    parallel (max, x) Kogge-Stone prefix over the tiny [nb, ...] array
+    (the old L = 65536 layout spent 16 full-array passes — measured 2x
+    slower at [2^23, 3])."""
     decay = jnp.asarray(decay, u.dtype)
     n = u.shape[0]
-    L = 1 << min(16, max(n - 1, 1).bit_length())
+    L = min(128, 1 << max(n - 1, 1).bit_length())
     nb = -(-n // L)
     up = jnp.pad(u, [(0, nb * L - n)] + [(0, 0)] * (u.ndim - 1),
                  constant_values=0.0)
@@ -127,13 +179,19 @@ def release_scan(u: jax.Array, decay: float | jax.Array) -> jax.Array:
         shift *= 2
     dL = dl  # decay^L
 
+    # carry prefix over block ends: F[b] = running max of dL-decayed e
     e = Y[:, -1]  # zero-state end-of-block values
-
-    def step(c, eb):
-        return jnp.maximum(eb, dL * c), c
-
-    c0 = jnp.zeros(u.shape[1:], u.dtype)
-    _, Cpre = jax.lax.scan(step, c0, e)  # value at block start
+    P = 1 << max(nb - 1, 1).bit_length() if nb > 1 else 1
+    F = jnp.pad(e, [(0, P - nb)] + [(0, 0)] * (e.ndim - 1),
+                constant_values=0.0)
+    dj = dL
+    s = 1
+    while s < P:
+        F = jnp.maximum(F, dj * _shift_right_fill(F, s, 0, 0.0))
+        dj = dj * dj
+        s *= 2
+    Cpre = jnp.concatenate(
+        [jnp.zeros((1,) + e.shape[1:], u.dtype), F[:nb - 1]], axis=0)
 
     k = jnp.arange(1, L + 1, dtype=u.dtype)
     powers = jnp.exp(k * jnp.log(jnp.maximum(decay, 1e-30)))

@@ -43,6 +43,12 @@ COMPAT_CHUNK_SECONDS = 30.0
 COMP_ATTACK_MS = 5.0   # pydub compress_dynamic_range defaults (N7)
 COMP_RELEASE_MS = 50.0
 
+# Quality-mode multiband compressor stage (ops/compressor.compress_quality_
+# multi defaults; shared by the offline graph and streaming mode)
+MB_ATTACK_MS = 5.0
+MB_RELEASE_MS = 50.0
+MB_RMS_MS = 5.0
+
 
 @dataclasses.dataclass(frozen=True)
 class MasterSettings:

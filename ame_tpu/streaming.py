@@ -7,10 +7,15 @@ small chunks with NO chunk-boundary artifacts — unlike the reference's 30 s
 pipeline, which resets all filter state at every boundary (quirk Q6).
 
 ``StreamingMaster`` runs the QUALITY chain (analog character -> RBJ EQ ->
-stereo width -> optional static gain -> lookahead limiter) incrementally:
+stereo width -> optional multiband compression -> static gain ->
+lookahead limiter) incrementally:
 
   * every IIR stage carries its exact ``zi`` between chunks;
   * tanh/width/gain are stateless;
+  * the multiband compressor (settings.multiband) carries crossover zi,
+    the RMS detector's window history, the release envelope seed, and the
+    attack smoother's zi — chunked output equals the offline
+    ``multiband_quality`` stage with no added latency;
   * the lookahead limiter is re-derived in streaming form: the output lags
     the input by ``attack-1`` samples (the lookahead window), with the
     sliding-min/mean windows recomputed over a carried context so emitted
@@ -39,9 +44,10 @@ import jax.numpy as jnp
 
 from ame_tpu import config as C
 from ame_tpu.config import MasterSettings
+from ame_tpu.dsp import design
 from ame_tpu.ops import window as W
 from ame_tpu.ops.eq import _rbj_peaking_coeffs_jnp, _rbj_shelf_coeffs_jnp
-from ame_tpu.ops.scan_iir import sosfilt_scan
+from ame_tpu.ops.scan_iir import biquad_scan, sosfilt_scan
 from ame_tpu.ops.stereo import stereo_width_quality
 
 
@@ -67,6 +73,58 @@ def _eq_sos(p, sample_rate, dt, peak_q=1.41):
     ]).astype(dt)
 
 
+def _mb_sos_np(sample_rate):
+    """The 3 crossover cascades as host numpy (identical composition to the
+    offline tile-conv bank in graph/multiband.py: mid = LP4k∘HP250,
+    high = HP4k∘HP250)."""
+    lo = design.linkwitz_riley_sos(4, C.MB_LOW_CROSSOVER_HZ, "lowpass",
+                                   sample_rate)
+    hp = design.linkwitz_riley_sos(4, C.MB_LOW_CROSSOVER_HZ, "highpass",
+                                   sample_rate)
+    lp4k = design.linkwitz_riley_sos(4, C.MB_HIGH_CROSSOVER_HZ, "lowpass",
+                                     sample_rate)
+    hp4k = design.linkwitz_riley_sos(4, C.MB_HIGH_CROSSOVER_HZ, "highpass",
+                                     sample_rate)
+    return (lo, np.concatenate([hp, lp4k]), np.concatenate([hp, hp4k]))
+
+
+def _mb_stream(y, state, new_state, p, sr):
+    """Streaming multiband compression (exact ops/compressor
+    ``compress_quality_multi`` semantics): crossover zi, detector-window
+    history, release seed, and attack-smoother zi all carry across chunks,
+    so the chunked result equals the offline stage bit-for-bit up to f32
+    scan rounding. Adds no latency (the quality compressor has no
+    lookahead)."""
+    n = y.shape[0]
+    rms_w = max(int(C.MB_RMS_MS * sr / 1000.0), 1)
+    bands = []
+    for i, sos in enumerate(_mb_sos_np(sr)):
+        b, new_state[f"zi_mb{i}"] = sosfilt_scan(sos, y,
+                                                 zi=state[f"zi_mb{i}"])
+        bands.append(b)
+    sq = jnp.stack([jnp.mean(b * b, axis=1) for b in bands], axis=1)
+    seq = jnp.concatenate([state["mb_sq_hist"], sq], axis=0)
+    s = W.moving_sum_past(seq, rms_w)[rms_w - 1:]
+    count = jnp.minimum(state["mb_n_seen"] + jnp.arange(n) + 1.0,
+                        float(rms_w))
+    level_db = 10.0 * jnp.log10(jnp.maximum(s / count[:, None], 1e-12))
+    over = jnp.maximum(level_db - p["threshs"][None, :], 0.0)
+    gr_db = over * (1.0 - 1.0 / p["ratios"][None, :])
+    rel = jnp.asarray(math.exp(-1.0 / (C.MB_RELEASE_MS * sr / 1000.0)),
+                      y.dtype)
+    gr_rel = W.release_scan(
+        jnp.concatenate([state["mb_u_prev"][None], gr_db], axis=0), rel)[1:]
+    a = math.exp(-1.0 / (C.MB_ATTACK_MS * sr / 1000.0))
+    coeffs = jnp.array([1.0 - a, 0.0, 0.0, 1.0, -a, 0.0], y.dtype)
+    gr_smooth, new_state["mb_zi_att"] = biquad_scan(gr_rel, coeffs,
+                                                    zi=state["mb_zi_att"])
+    gains = 10.0 ** (-gr_smooth / 20.0)
+    new_state["mb_sq_hist"] = seq[seq.shape[0] - (rms_w - 1):]
+    new_state["mb_n_seen"] = state["mb_n_seen"] + n
+    new_state["mb_u_prev"] = gr_rel[-1]
+    return sum(bands[g] * gains[:, g][:, None] for g in range(3))
+
+
 @partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def _stream_step(x, state, p, sr, A, phase, structure):
     """One streaming step. phase: 'first' | 'steady' | 'flush'.
@@ -75,7 +133,7 @@ def _stream_step(x, state, p, sr, A, phase, structure):
     over [past(A-1) | pend(A-1) | new] context and emits every sample whose
     lookahead window is complete.
     """
-    analog_on, width_on = structure
+    analog_on, width_on, multiband_on = structure
     rho = jnp.asarray(math.exp(-1.0 / (0.05 * sr)), jnp.float32)
     ceiling = jnp.asarray(C.LIMITER_CEILING, jnp.float32)
 
@@ -91,6 +149,8 @@ def _stream_step(x, state, p, sr, A, phase, structure):
             _eq_sos(p, sr, y.dtype), y, zi=state["zi_e"])
         if width_on:
             y = stereo_width_quality(y, p["width"])
+        if multiband_on:
+            y = _mb_stream(y, state, new_state, p, sr)
         y = y * 10.0 ** (p["gain_db"] / 20.0)
         if phase == "first":
             z = y
@@ -143,7 +203,8 @@ class StreamingMaster:
         self.sample_rate = float(sample_rate)
         self.attack = max(int(C.LIMITER_ATTACK_MS * sample_rate / 1000.0), 1)
         self._structure = (settings.analog_character != 0,
-                           settings.width != 1.0)
+                           settings.width != 1.0,
+                           bool(settings.multiband))
         self._p = {
             "analog": jnp.float32(settings.analog_character),
             "bass": jnp.float32(settings.bass_boost),
@@ -152,6 +213,10 @@ class StreamingMaster:
             "treble": jnp.float32(settings.treble_boost),
             "width": jnp.float32(settings.width),
             "gain_db": jnp.float32(gain_db),
+            "threshs": jnp.asarray([settings.low_thresh, settings.mid_thresh,
+                                    settings.high_thresh], jnp.float32),
+            "ratios": jnp.asarray([settings.low_ratio, settings.mid_ratio,
+                                   settings.high_ratio], jnp.float32),
         }
         A = self.attack
         self._state = {
@@ -161,6 +226,17 @@ class StreamingMaster:
             "pend": jnp.zeros((A - 1, 2), jnp.float32),
             "u_prev": jnp.zeros((), jnp.float32),
         }
+        if settings.multiband:
+            rms_w = max(int(C.MB_RMS_MS * sample_rate / 1000.0), 1)
+            self._state.update({
+                "zi_mb0": jnp.zeros((2, 2, 2), jnp.float32),
+                "zi_mb1": jnp.zeros((4, 2, 2), jnp.float32),
+                "zi_mb2": jnp.zeros((4, 2, 2), jnp.float32),
+                "mb_sq_hist": jnp.zeros((rms_w - 1, 3), jnp.float32),
+                "mb_n_seen": jnp.zeros((), jnp.float32),
+                "mb_u_prev": jnp.zeros((3,), jnp.float32),
+                "mb_zi_att": jnp.zeros((3, 2), jnp.float32),
+            })
         self._first = True
         self._done = False
 

@@ -85,6 +85,34 @@ def main():
             print(json.dumps({"config": name,
                               "value": round(xr, 1),
                               "unit": "x_realtime"}))
+        # Fleet throughput: dp-batched mastering (parallel/batch.py) on one
+        # chip — amortizes dispatch/fixed costs across B tracks
+        from ame_tpu.parallel.batch import master_batch
+        B = 4
+        xb = jnp.asarray(
+            0.1 * np.random.default_rng(1).standard_normal((B, N, 2)),
+            jnp.float32)
+        fleet_settings = configs["full_lufs"]
+
+        def run_fleet():
+            return master_batch(xb, SR, fleet_settings)
+
+        def fetch(y):
+            return float(np.asarray(y[0, 0, 0]))
+
+        fetch(run_fleet())
+        t0 = time.perf_counter()
+        fetch(run_fleet())
+        rtt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(5):
+            y = run_fleet()
+        fetch(y)
+        per_batch = (time.perf_counter() - t0 - rtt) / 5
+        print(json.dumps({"config": f"fleet_batch_{B}x_full_lufs",
+                          "value": round(B * (N / SR) / per_batch, 1),
+                          "unit": "x_realtime_aggregate"}))
+
         # Musicologist batch (config 5): spectrogram+CNN+features per track
         from ame_tpu.analysis import musicologist as M
         y22 = jnp.asarray(

@@ -29,6 +29,20 @@ def _offline(x, settings, gain_db=0.0):
                          settings.get("treble_boost", 0.0))
     if settings.get("width", 1.0) != 1.0:
         y = stereo_width_quality(y, jnp.float32(settings["width"]))
+    if settings.get("multiband"):
+        from ame_tpu.graph.multiband import multiband_quality
+        from ame_tpu.config import MasterSettings
+        d = MasterSettings()
+        y = multiband_quality(
+            y, SR,
+            jnp.asarray([settings.get("low_thresh", d.low_thresh),
+                         settings.get("mid_thresh", d.mid_thresh),
+                         settings.get("high_thresh", d.high_thresh)],
+                        jnp.float32),
+            jnp.asarray([settings.get("low_ratio", d.low_ratio),
+                         settings.get("mid_ratio", d.mid_ratio),
+                         settings.get("high_ratio", d.high_ratio)],
+                        jnp.float32))
     y = y * 10.0 ** (gain_db / 20.0)
     return np.asarray(lookahead_limiter(y, SR))
 
@@ -66,6 +80,37 @@ def test_stream_no_boundary_artifacts():
     """The handoff must be exact: errors at chunk boundaries must be no
     larger than anywhere else (the reference's Q6 reset would spike)."""
     settings = {"bass_boost": 4.0, "treble_boost": 4.0}
+    chunk = 4096
+    x = _program(chunk * 4)
+    want = _offline(x, settings)
+    got, _ = _stream(x, settings, chunk)
+    err = np.abs(got - want).max(axis=1)
+    for b in range(1, 4):
+        around = err[b * chunk - 64: b * chunk + 64].max()
+        assert around <= max(err.max() * 1.0 + 1e-12, 1e-6)
+
+
+@pytest.mark.parametrize("chunk", [4096, 11025])
+def test_stream_multiband_equals_offline(chunk):
+    """Streaming multiband compression (crossover zi + detector history +
+    release seed + attack-smoother zi carried) must equal the offline
+    multiband_quality stage — ROADMAP round-2 feature."""
+    settings = {"bass_boost": 1.5, "multiband": True,
+                "low_thresh": -30.0, "low_ratio": 6.0,
+                "mid_thresh": -25.0, "mid_ratio": 3.0,
+                "high_thresh": -20.0, "high_ratio": 4.0}
+    n = chunk * 3
+    x = _program(n)
+    want = _offline(x, settings, gain_db=-1.0)
+    got, _ = _stream(x, settings, chunk, gain_db=-1.0)
+    assert got.shape == want.shape
+    err = np.abs(got - want).max()
+    assert err < 2e-4, err
+
+
+def test_stream_multiband_no_boundary_artifacts():
+    settings = {"multiband": True, "low_thresh": -35.0, "mid_thresh": -30.0,
+                "high_thresh": -28.0}
     chunk = 4096
     x = _program(chunk * 4)
     want = _offline(x, settings)

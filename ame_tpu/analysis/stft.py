@@ -24,10 +24,23 @@ def hann_window(n: int) -> np.ndarray:
 
 def frame_signal(y: jax.Array, frame_length: int, hop: int,
                  center: bool = True) -> jax.Array:
-    """[N] -> [n_frames, frame_length], zero-padded centered frames."""
+    """[N] -> [n_frames, frame_length], zero-padded centered frames.
+
+    When ``frame_length`` is a multiple of ``hop`` (librosa's 2048/512
+    default), frames are assembled from hop-sized tiles by slicing — the
+    [n_frames, frame_length] index gather this replaces dominated the
+    Musicologist's device time on TPU (gathers don't tile; slices are
+    free layout ops)."""
     if center:
         y = jnp.pad(y, (frame_length // 2, frame_length // 2))
     n_frames = 1 + (y.shape[0] - frame_length) // hop
+    if frame_length % hop == 0:
+        r = frame_length // hop
+        n_tiles = n_frames + r - 1
+        pad = max(n_tiles * hop - y.shape[0], 0)
+        tiles = jnp.pad(y, (0, pad))[: n_tiles * hop].reshape(n_tiles, hop)
+        return jnp.concatenate([tiles[t0:t0 + n_frames] for t0 in range(r)],
+                               axis=1)
     idx = (jnp.arange(n_frames)[:, None] * hop
            + jnp.arange(frame_length)[None, :])
     return y[idx]

@@ -92,3 +92,24 @@ def test_mel_filterbank_properties():
     assert (fb >= 0).all()
     # every filter has support; slaney normalization keeps areas ~equal
     assert (fb.sum(axis=1) > 0).all()
+
+
+def test_frame_signal_slice_path_matches_naive():
+    """The hop-tiled slice framing (TPU fast path) must be bit-identical to
+    naive strided framing, for both divisible and non-divisible
+    frame/hop ratios and with/without centering."""
+    import jax.numpy as jnp
+    from ame_tpu.analysis.stft import frame_signal
+    rng = np.random.default_rng(0)
+    for n, fl, hop, center in [(22050, 2048, 512, True),
+                               (2048, 2048, 512, True),
+                               (2048 + 512 * 3, 2048, 512, False),
+                               (6000, 2000, 512, True),
+                               (4096, 1024, 256, False)]:
+        y = rng.standard_normal(n).astype(np.float32)
+        got = np.asarray(frame_signal(jnp.asarray(y), fl, hop, center))
+        yp = np.pad(y, fl // 2) if center else y
+        nf = 1 + (len(yp) - fl) // hop
+        want = np.stack([yp[i * hop:i * hop + fl] for i in range(nf)])
+        assert got.shape == want.shape
+        assert np.array_equal(got, want)

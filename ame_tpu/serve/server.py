@@ -12,11 +12,15 @@
     GET  /download/<name>, /art/<name>, /  (web UI)
 
 Implementation: Python stdlib ThreadingHTTPServer; local-disk object store
-standing in for GCS signed URLs; a pool of worker threads drains a job
-queue (jobs run the same ``process_audio`` orchestration as the desktop
-path, so the serving tier inherits the degrade-and-continue error policy).
-Jobs are asynchronous exactly like the implied App Engine backend — the
-client polls /status (index.html:291-334 behavior).
+standing in for GCS signed URLs (set AME_TPU_SERVE_GCS_BUCKET to issue
+real V4 signed PUT URLs against a bucket instead — GCSBlobBackend; any
+backend failure degrades to the local store); a pool of worker threads
+drains a job queue (jobs run the same ``process_audio`` orchestration as
+the desktop path, so the serving tier inherits the degrade-and-continue
+error policy). Jobs are asynchronous exactly like the implied App Engine
+backend — the client polls /status (index.html:291-334 behavior). A
+janitor thread expires done/error jobs and their blobs after
+AME_TPU_SERVE_TTL_S (default 24 h).
 
 Concurrency: every job-state mutation and read goes through lock-guarded
 JobStore methods (worker callbacks fire on worker threads while request
@@ -38,6 +42,7 @@ import os
 import queue
 import tempfile
 import threading
+import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -45,6 +50,38 @@ from urllib.parse import parse_qs, urlparse
 log = logging.getLogger("ame_tpu.serve")
 
 _DOWNLOAD_CHUNK = 256 * 1024
+
+
+class GCSBlobBackend:
+    """Real GCS signed-URL backend for the reference contract
+    (index.html:251-268: POST /generate-upload-url returns a V4 signed PUT
+    URL + a gs:// uri; the job later reads the object server-side).
+
+    Requires google-cloud-storage and signing credentials; constructed
+    lazily only when AME_TPU_SERVE_GCS_BUCKET is set, and any failure
+    falls back to the local-disk store (degrade-and-continue, the
+    project-wide error policy)."""
+
+    def __init__(self, bucket_name: str):
+        from google.cloud import storage  # optional dep; gated by caller
+        self.client = storage.Client()
+        self.bucket = self.client.bucket(bucket_name)
+        self.bucket_name = bucket_name
+
+    def new_upload(self, filename: str) -> tuple[str, str]:
+        blob_id = f"{uuid.uuid4().hex}_{os.path.basename(filename)}"
+        blob = self.bucket.blob(f"uploads/{blob_id}")
+        url = blob.generate_signed_url(version="v4", method="PUT",
+                                       expiration=3600)
+        return url, f"gs://{self.bucket_name}/uploads/{blob_id}"
+
+    def fetch_to(self, gcs_uri: str, dest_path: str) -> bool:
+        prefix = f"gs://{self.bucket_name}/"
+        if not gcs_uri.startswith(prefix):
+            return False
+        self.bucket.blob(gcs_uri[len(prefix):]).download_to_filename(
+            dest_path)
+        return True
 
 
 class JobStore:
@@ -59,7 +96,7 @@ class JobStore:
     All reads/writes of job state go through the lock: callbacks mutate
     from worker threads while request handlers read concurrently."""
 
-    def __init__(self, workdir: str):
+    def __init__(self, workdir: str, ttl_s: float | None = None):
         self.workdir = workdir
         self.uploads = os.path.join(workdir, "uploads")
         self.outputs = os.path.join(workdir, "outputs")
@@ -70,6 +107,16 @@ class JobStore:
         self.jobs: dict[str, dict] = {}   # output name -> state
         self.queue: "queue.Queue[tuple[str, dict]]" = queue.Queue()
         self._jobs_path = os.path.join(workdir, "jobs.json")
+        self.ttl_s = (float(os.environ.get("AME_TPU_SERVE_TTL_S", 86400))
+                      if ttl_s is None else float(ttl_s))
+        self.gcs = None
+        bucket = os.environ.get("AME_TPU_SERVE_GCS_BUCKET")
+        if bucket:
+            try:
+                self.gcs = GCSBlobBackend(bucket)
+                log.info("GCS blob backend active: bucket %s", bucket)
+            except Exception:
+                log.exception("GCS backend unavailable; using local store")
         self._load_jobs()
 
     def _load_jobs(self) -> None:
@@ -139,14 +186,79 @@ class JobStore:
 
     # -- blobs ----------------------------------------------------------------
     def new_upload(self, filename: str) -> tuple[str, str]:
+        if self.gcs is not None:
+            try:
+                return self.gcs.new_upload(filename)
+            except Exception:
+                log.exception("GCS signed-url failed; local fallback")
         blob_id = f"{uuid.uuid4().hex}_{os.path.basename(filename)}"
         return f"/upload/{blob_id}", f"local://{blob_id}"
+
+    def resolve_input(self, uri: str) -> str | None:
+        """gcs_uri (local:// or gs://) -> local input path, or None."""
+        if uri.startswith("gs://") and self.gcs is not None:
+            dest = self.upload_path(uri.rsplit("/", 1)[-1])
+            try:
+                if self.gcs.fetch_to(uri, dest):
+                    return dest
+            except Exception:
+                log.exception("GCS fetch failed for %s", uri)
+            return None
+        path = self.upload_path(uri.split("://", 1)[-1])
+        return path if os.path.exists(path) else None
 
     def upload_path(self, blob_id: str) -> str:
         return os.path.join(self.uploads, os.path.basename(blob_id))
 
     def output_path(self, name: str) -> str:
         return os.path.join(self.outputs, os.path.basename(name))
+
+    # -- TTL garbage collection ----------------------------------------------
+    def gc_expired(self, now: float | None = None) -> int:
+        """Drop done/error jobs older than ttl_s and their blobs (outputs,
+        art, mp3, and the uploaded input). Never touches queued/processing
+        jobs. Orphaned uploads older than ttl_s are removed too. Returns
+        the number of jobs collected."""
+        now = time.time() if now is None else now
+        expired = []
+        with self.lock:
+            for name, job in list(self.jobs.items()):
+                if (job.get("status") in ("done", "error")
+                        and now - job.get("created", now) > self.ttl_s):
+                    expired.append((name, self.jobs.pop(name)))
+        for name, job in expired:
+            stem = os.path.splitext(name)[0]
+            doomed = [self.output_path(name),
+                      self.output_path(stem + ".mp3"),
+                      self.output_path(stem + "_art.png"),
+                      (job.get("settings") or {}).get("input_file", "")]
+            if job.get("art_file"):
+                doomed.append(self.output_path(
+                    os.path.basename(job["art_file"])))
+            for fp in doomed:
+                if fp and os.path.isfile(fp):
+                    try:
+                        os.remove(fp)
+                    except OSError:
+                        pass
+            log.info("gc: expired job %s", name)
+        live_inputs = set()
+        with self.lock:
+            for job in self.jobs.values():
+                fp = (job.get("settings") or {}).get("input_file")
+                if fp:
+                    live_inputs.add(os.path.basename(fp))
+        try:
+            for fn in os.listdir(self.uploads):
+                fp = os.path.join(self.uploads, fn)
+                if (fn not in live_inputs and os.path.isfile(fp)
+                        and now - os.path.getmtime(fp) > self.ttl_s):
+                    os.remove(fp)
+        except OSError:
+            pass
+        if expired:
+            self.persist()
+        return len(expired)
 
 
 def _worker_loop(store: JobStore):
@@ -216,12 +328,11 @@ class Handler(BaseHTTPRequestHandler):
                 req = json.loads(self._read_body() or b"{}")
                 uri = req.get("gcs_uri", "")
                 settings = dict(req.get("settings") or {})
-                blob_id = uri.split("://", 1)[-1]
-                input_path = self.store.upload_path(blob_id)
-                if not os.path.exists(input_path):
+                input_path = self.store.resolve_input(uri)
+                if input_path is None:
                     self._json(404, {"error": f"no upload for {uri}"})
                     return
-                stem = os.path.splitext(os.path.basename(blob_id))[0]
+                stem = os.path.splitext(os.path.basename(input_path))[0]
                 out_name = f"{stem}_mastered.wav"
                 art_name = f"{stem}_mastered_art.png"
                 settings["input_file"] = input_path
@@ -229,7 +340,7 @@ class Handler(BaseHTTPRequestHandler):
                 self.store.create_job(out_name, {
                     "status": "processing", "messages": [],
                     "progress": [0, 1], "tag": "", "art_file": None,
-                    "settings": settings,
+                    "settings": settings, "created": time.time(),
                 })
                 self.store.persist()
                 self.store.queue.put((out_name, settings))
@@ -441,12 +552,23 @@ $('go').onclick = async () => {
 </script></body></html>"""
 
 
+def _janitor_loop(store: JobStore, interval_s: float):
+    while True:
+        time.sleep(interval_s)
+        try:
+            store.gc_expired()
+        except Exception:  # pragma: no cover — keep the janitor alive
+            log.exception("gc pass failed")
+
+
 def make_server(host: str = "127.0.0.1", port: int = 8080,
                 workdir: str | None = None, workers: int | None = None):
     """Build (server, store) without blocking — used by tests.
 
     workers: size of the job-worker pool (env AME_TPU_SERVE_WORKERS,
-    default 2 — two queued jobs overlap decode/encode/analysis)."""
+    default 2 — two queued jobs overlap decode/encode/analysis).
+    A janitor thread GCs done/error jobs and their blobs after
+    AME_TPU_SERVE_TTL_S seconds (default 24 h; <= 0 disables)."""
     workdir = workdir or tempfile.mkdtemp(prefix="ame_tpu_serve_")
     store = JobStore(workdir)
     if workers is None:
@@ -454,6 +576,11 @@ def make_server(host: str = "127.0.0.1", port: int = 8080,
     for _ in range(max(workers, 1)):
         threading.Thread(target=_worker_loop, args=(store,),
                          daemon=True).start()
+    if store.ttl_s > 0:
+        threading.Thread(
+            target=_janitor_loop,
+            args=(store, min(store.ttl_s / 4, 900.0)),
+            daemon=True).start()
     handler = type("BoundHandler", (Handler,), {"store": store})
     server = ThreadingHTTPServer((host, port), handler)
     return server, store

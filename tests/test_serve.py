@@ -257,3 +257,66 @@ def test_job_persistence_and_requeue(tmp_path):
     assert store2.jobs["in_mastered.wav"]["status"] == "done"
     import os
     assert os.path.exists(out)
+
+
+def test_gc_expired_jobs_and_orphan_uploads(tmp_path):
+    """TTL GC removes finished jobs + their blobs and orphaned uploads,
+    but never queued/processing jobs or fresh files."""
+    import os
+    from ame_tpu.serve.server import JobStore
+
+    store = JobStore(str(tmp_path), ttl_s=100.0)
+    now = time.time()
+
+    def blob(path, content=b"x"):
+        with open(path, "wb") as f:
+            f.write(content)
+        return path
+
+    old_in = blob(os.path.join(store.uploads, "old_in.wav"))
+    old_out = blob(store.output_path("old_mastered.wav"))
+    old_mp3 = blob(store.output_path("old_mastered.mp3"))
+    store.create_job("old_mastered.wav", {
+        "status": "done", "created": now - 1000,
+        "settings": {"input_file": old_in}})
+    live_in = blob(os.path.join(store.uploads, "live_in.wav"))
+    live_out = blob(store.output_path("live_mastered.wav"))
+    store.create_job("live_mastered.wav", {
+        "status": "processing", "created": now - 1000,
+        "settings": {"input_file": live_in}})
+    fresh_out = blob(store.output_path("fresh_mastered.wav"))
+    store.create_job("fresh_mastered.wav", {
+        "status": "done", "created": now,
+        "settings": {"input_file": ""}})
+    orphan = blob(os.path.join(store.uploads, "orphan.wav"))
+    os.utime(orphan, (now - 1000, now - 1000))
+
+    assert store.gc_expired(now=now) == 1
+    assert store.job_status("old_mastered.wav") is None
+    assert not os.path.exists(old_out) and not os.path.exists(old_mp3)
+    assert not os.path.exists(old_in)
+    assert not os.path.exists(orphan)
+    # processing job (even past TTL) and fresh job survive with blobs
+    assert store.job_status("live_mastered.wav") == "processing"
+    assert os.path.exists(live_out) and os.path.exists(live_in)
+    assert store.job_status("fresh_mastered.wav") == "done"
+    assert os.path.exists(fresh_out)
+    # persisted manifest reflects the GC
+    store2 = JobStore(str(tmp_path), ttl_s=100.0)
+    assert "old_mastered.wav" not in store2.jobs
+
+
+def test_resolve_input_local_and_gs_fallback(tmp_path):
+    import os
+    from ame_tpu.serve.server import JobStore
+
+    store = JobStore(str(tmp_path))
+    url, uri = store.new_upload("track.wav")
+    assert url.startswith("/upload/") and uri.startswith("local://")
+    blob_id = uri.split("://", 1)[-1]
+    with open(store.upload_path(blob_id), "wb") as f:
+        f.write(b"data")
+    assert store.resolve_input(uri) == store.upload_path(blob_id)
+    # unknown local upload -> None; gs:// without a GCS backend -> None
+    assert store.resolve_input("local://missing.wav") is None
+    assert store.resolve_input("gs://bucket/uploads/x.wav") is None

@@ -90,11 +90,9 @@ def multiband_compat(x: jax.Array, sample_rate: float, threshs: jax.Array,
     return acc * (1.0 / 32768.0)
 
 
-def multiband_quality(x: jax.Array, sample_rate: float, threshs, ratios,
-                      attack_ms: float = 5.0,
-                      release_ms: float = 50.0) -> jax.Array:
-    """Linkwitz-Riley LR4 crossover (flat magnitude sum — fixes Q4), f32
-    throughout (fixes Q5/Q7), quality compressor per band."""
+def quality_band_split(x: jax.Array, sample_rate: float):
+    """Linkwitz-Riley LR4 crossover split: [N, C] -> (low, mid, high),
+    flat magnitude sum (fixes Q4). Differentiable in x."""
     import numpy as np
 
     lo_sos = design.linkwitz_riley_sos(4, C.MB_LOW_CROSSOVER_HZ, "lowpass",
@@ -119,6 +117,15 @@ def multiband_quality(x: jax.Array, sample_rate: float, threshs, ratios,
         rest, _ = sosfilt_scan(lo_hp, x)
         high, _ = sosfilt_scan(hi_sos, rest)
         mid, _ = sosfilt_scan(hi_lp, rest)
+    return low, mid, high
+
+
+def multiband_quality(x: jax.Array, sample_rate: float, threshs, ratios,
+                      attack_ms: float = 5.0,
+                      release_ms: float = 50.0) -> jax.Array:
+    """Linkwitz-Riley LR4 crossover (flat magnitude sum — fixes Q4), f32
+    throughout (fixes Q5/Q7), quality compressor per band."""
+    low, mid, high = quality_band_split(x, sample_rate)
     # one stacked gain pipeline for all three bands (detector + release +
     # attack scans run once on [N, 3] instead of three times)
     comp = compressor.compress_quality_multi(

@@ -8,6 +8,19 @@ spectral profile), we optimize the EQ/width/character parameters so the
 mastered output's log-mel spectrum matches the target's — the "make my mix
 sound like that record" workflow, on-device.
 
+Perceptual objective (opt-in pieces):
+  * multi-resolution spectral loss — log-mel profiles at several FFT sizes
+    (a short window that sees transients + a long window that sees tonal
+    balance), the standard multi-resolution STFT loss shape;
+  * band-dynamics loss — the per-band standard deviation of framed RMS
+    in dB (the spectral profile is blind to dynamics; this term is what
+    makes multiband compressor thresholds/ratios identifiable);
+  * multiband parameter optimization — the quality multiband compressor
+    (graph/multiband.py) is itself differentiable in its thresholds and
+    ratios (detector -> release scan -> attack smoother are all scans), so
+    ``optimize_multiband=True`` fits the 6 band parameters jointly with
+    EQ/width/character.
+
 (See PAPERS.md: hyperconditioned differentiable biquads / deep parametric
 IIR optimization — this module is that idea applied to the full chain.)
 """
@@ -27,18 +40,39 @@ from ame_tpu.ops import eq, saturate, stereo
 N_MELS = 64
 N_FFT = 2048
 HOP = 1024
+MULTI_RES_FFTS = (512, 2048)    # transient + tonal windows
+DYN_FRAME_S = 0.4               # band-dynamics RMS frame (BS.1770 block)
 
 
-def _logmel_profile(x: jax.Array, sample_rate: float) -> jax.Array:
+def _logmel_profile(x: jax.Array, sample_rate: float,
+                    n_fft: int = N_FFT) -> jax.Array:
     """Time-averaged log-mel energy profile [N_MELS] of a stereo track."""
     from ame_tpu.analysis.stft import melspectrogram
     mono = jnp.mean(x, axis=1)
-    mel = melspectrogram(mono, float(sample_rate), N_FFT, N_MELS, HOP)
+    mel = melspectrogram(mono, float(sample_rate), n_fft, N_MELS, n_fft // 2)
     return 10.0 * jnp.log10(jnp.maximum(jnp.mean(mel, axis=1), 1e-10))
 
 
+def _band_dynamics(x: jax.Array, sample_rate: float) -> jax.Array:
+    """Per-band dB-RMS frame standard deviation [3] — the dynamics
+    signature the spectral profile cannot see. Bands are the same LR4
+    crossovers the multiband compressor uses."""
+    from ame_tpu.graph.multiband import quality_band_split
+    bands = quality_band_split(x, float(sample_rate))   # 3 x [N, 2]
+    frame = max(int(DYN_FRAME_S * sample_rate), 1)
+    outs = []
+    for b in bands:
+        n = (b.shape[0] // frame) * frame
+        sq = jnp.mean(b[:n].reshape(-1, frame, b.shape[1]) ** 2,
+                      axis=(1, 2))
+        db = 10.0 * jnp.log10(jnp.maximum(sq, 1e-10))
+        outs.append(jnp.std(db))
+    return jnp.stack(outs)
+
+
 def _chain(x, theta, sample_rate):
-    """Differentiable sub-chain: analog character + quality EQ + width.
+    """Differentiable sub-chain: analog character + quality EQ + width,
+    plus quality multiband compression when theta carries band params.
     theta: dict of unconstrained parameters."""
     analog = 50.0 * jax.nn.sigmoid(theta["analog_raw"])      # [0, 50] %
     width = 2.0 * jax.nn.sigmoid(theta["width_raw"])         # [0, 2]
@@ -47,6 +81,11 @@ def _chain(x, theta, sample_rate):
     y = eq.apply_eq_quality(y, sample_rate, gains[0], -gains[1], gains[2],
                             gains[3])
     y = stereo.stereo_width_quality(y, width)
+    if "mb_thresh_raw" in theta:
+        from ame_tpu.graph.multiband import multiband_quality
+        threshs = -40.0 * jax.nn.sigmoid(theta["mb_thresh_raw"])  # [-40, 0]
+        ratios = 1.0 + 9.0 * jax.nn.sigmoid(theta["mb_ratio_raw"])  # [1, 10]
+        y = multiband_quality(y, sample_rate, threshs, ratios)
     return y
 
 
@@ -54,7 +93,7 @@ def _theta_to_settings(theta) -> dict:
     analog = float(50.0 * jax.nn.sigmoid(theta["analog_raw"]))
     width = float(2.0 * jax.nn.sigmoid(theta["width_raw"]))
     gains = np.asarray(6.0 * jnp.tanh(theta["eq_raw"]))
-    return {
+    out = {
         "analog_character": analog,
         "bass_boost": float(gains[0]),
         "mid_cut": float(-gains[1]),
@@ -62,6 +101,26 @@ def _theta_to_settings(theta) -> dict:
         "treble_boost": float(gains[3]),
         "width": width,
     }
+    if "mb_thresh_raw" in theta:
+        threshs = np.asarray(-40.0 * jax.nn.sigmoid(theta["mb_thresh_raw"]))
+        ratios = np.asarray(1.0 + 9.0 * jax.nn.sigmoid(theta["mb_ratio_raw"]))
+        out.update({
+            "multiband": True,
+            "low_thresh": float(threshs[0]), "low_ratio": float(ratios[0]),
+            "mid_thresh": float(threshs[1]), "mid_ratio": float(ratios[1]),
+            "high_thresh": float(threshs[2]), "high_ratio": float(ratios[2]),
+        })
+    return out
+
+
+def _perceptual_targets(target_track, sample_rate, resolutions, dyn_w):
+    """Precompute target statistics once: log-mel profile per FFT
+    resolution + the band-dynamics signature."""
+    t = jnp.asarray(target_track, jnp.float32)
+    profs = tuple(_logmel_profile(t, sample_rate, n) for n in resolutions)
+    dyn = (_band_dynamics(t, sample_rate) if dyn_w > 0.0
+           else jnp.zeros(3, jnp.float32))
+    return profs, dyn
 
 
 @partial(jax.jit, static_argnums=(3,))
@@ -71,10 +130,27 @@ def _loss_fn(theta, x, target_profile, sample_rate):
     return jnp.mean((prof - target_profile) ** 2)
 
 
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def _perceptual_loss(theta, x, target_profs, target_dyn, sample_rate,
+                     resolutions, dyn_w):
+    y = _chain(x, theta, sample_rate)
+    loss = jnp.float32(0.0)
+    for prof_t, n_fft in zip(target_profs, resolutions):
+        prof = _logmel_profile(y, sample_rate, n_fft)
+        loss = loss + jnp.mean((prof - prof_t) ** 2) / len(resolutions)
+    if dyn_w > 0.0:
+        dyn = _band_dynamics(y, sample_rate)
+        loss = loss + dyn_w * jnp.mean((dyn - target_dyn) ** 2)
+    return loss
+
+
 def fit_settings(x: jax.Array, sample_rate: float,
                  target: jax.Array | np.ndarray,
                  target_is_profile: bool = False,
                  steps: int = 200, lr: float = 0.05,
+                 optimize_multiband: bool = False,
+                 multi_resolution: bool = False,
+                 dynamics_weight: float | None = None,
                  verbose: bool = False) -> dict:
     """Fit EQ/width/character so ``x`` spectrally matches ``target``.
 
@@ -83,35 +159,67 @@ def fit_settings(x: jax.Array, sample_rate: float,
       target: [M, 2] reference track, or a precomputed [N_MELS] log-mel
         profile when ``target_is_profile``.
       steps / lr: Adam schedule.
+      optimize_multiband: also fit the 6 multiband compressor parameters
+        (threshold/ratio per band) through the differentiable quality
+        compressor; implies a band-dynamics loss term (the spectral
+        profile alone cannot identify compression).
+      multi_resolution: spectral loss over MULTI_RES_FFTS windows instead
+        of the single default resolution.
+      dynamics_weight: weight of the band-dynamics term (default 1.0 when
+        optimize_multiband else 0.0). Requires target to be a track.
 
-    Returns a reference-schema settings dict (add lufs/multiband yourself).
+    Returns a reference-schema settings dict (multiband keys included when
+    optimized; add lufs yourself).
     """
     x = jnp.asarray(x, jnp.float32)
-    if target_is_profile:
-        target_profile = jnp.asarray(target, jnp.float32)
-    else:
-        target_profile = _logmel_profile(
-            jnp.asarray(target, jnp.float32), sample_rate)
+    if dynamics_weight is None:
+        dynamics_weight = 1.0 if optimize_multiband else 0.0
+    perceptual = optimize_multiband or multi_resolution or dynamics_weight > 0
+    if perceptual and target_is_profile:
+        raise ValueError("perceptual objectives need a target track, "
+                         "not a precomputed profile")
 
     theta = {
         "analog_raw": jnp.float32(-4.0),   # sigmoid(-4) ~ 0: start clean
         "width_raw": jnp.float32(0.0),     # width 1.0
         "eq_raw": jnp.zeros(4, jnp.float32),
     }
+    if optimize_multiband:
+        # threshold init at -20 dB (sigmoid(0) * -40): the detector must
+        # actually cross threshold or max(level - th, 0) is identically
+        # zero and the fit starts in a dead-gradient zone; ratio ~2.1
+        theta["mb_thresh_raw"] = jnp.zeros(3, jnp.float32)
+        theta["mb_ratio_raw"] = jnp.full(3, -2.0, jnp.float32)
+
+    if perceptual:
+        resolutions = MULTI_RES_FFTS if multi_resolution else (N_FFT,)
+        target_profs, target_dyn = _perceptual_targets(
+            target, float(sample_rate), resolutions, dynamics_weight)
+        loss_args = (x, target_profs, target_dyn, float(sample_rate),
+                     resolutions, float(dynamics_weight))
+        loss_fn = _perceptual_loss
+        grad_fn = jax.jit(jax.grad(_perceptual_loss),
+                          static_argnums=(4, 5, 6))
+    else:
+        if target_is_profile:
+            target_profile = jnp.asarray(target, jnp.float32)
+        else:
+            target_profile = _logmel_profile(
+                jnp.asarray(target, jnp.float32), sample_rate)
+        loss_args = (x, target_profile, float(sample_rate))
+        loss_fn = _loss_fn
+        grad_fn = jax.jit(jax.grad(_loss_fn), static_argnums=(3,))
+
     opt = optax.adam(lr)
     opt_state = opt.init(theta)
-    grad_fn = jax.jit(jax.grad(_loss_fn), static_argnums=(3,))
-
     for i in range(steps):
-        g = grad_fn(theta, x, target_profile, float(sample_rate))
+        g = grad_fn(theta, *loss_args)
         updates, opt_state = opt.update(g, opt_state, theta)
         theta = optax.apply_updates(theta, updates)
         if verbose and i % 20 == 0:
-            loss = float(_loss_fn(theta, x, target_profile,
-                                  float(sample_rate)))
-            print(f"automaster step {i}: loss {loss:.4f}")
+            print(f"automaster step {i}: loss "
+                  f"{float(loss_fn(theta, *loss_args)):.4f}")
 
     out = _theta_to_settings(theta)
-    out["loss"] = float(_loss_fn(theta, x, target_profile,
-                                 float(sample_rate)))
+    out["loss"] = float(loss_fn(theta, *loss_args))
     return out

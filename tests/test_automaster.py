@@ -33,3 +33,50 @@ def test_fit_identity_stays_neutral():
     assert abs(fitted["bass_boost"]) < 1.0
     assert abs(fitted["treble_boost"]) < 1.0
     assert 0.7 < fitted["width"] < 1.3
+
+
+def test_fit_multiband_recovers_compression():
+    """Target = source through the quality multiband compressor; fitting
+    with optimize_multiband must lower the perceptual objective well below
+    its starting value and move thresholds down from the gentle init."""
+    from ame_tpu.graph.multiband import multiband_quality
+
+    rng = np.random.default_rng(11)
+    n = SR * 2
+    # amplitude-modulated noise: dynamics for the compressor to flatten
+    env = 0.05 + 0.45 * (np.sin(2 * np.pi * 1.3 *
+                                np.arange(n) / SR) > 0)
+    x = jnp.asarray((rng.standard_normal((n, 2)) * env[:, None])
+                    .astype(np.float32))
+    target = multiband_quality(x, SR,
+                               jnp.asarray([-28.0, -28.0, -28.0]),
+                               jnp.asarray([6.0, 6.0, 6.0]))
+
+    base = automaster.fit_settings(x, SR, target, steps=0,
+                                   optimize_multiband=True)
+    fitted = automaster.fit_settings(x, SR, target, steps=50, lr=0.1,
+                                     optimize_multiband=True)
+    assert fitted["multiband"] is True
+    assert fitted["loss"] < base["loss"] * 0.7, (fitted["loss"],
+                                                 base["loss"])
+    assert min(fitted["low_thresh"], fitted["mid_thresh"],
+               fitted["high_thresh"]) < -5.0, fitted
+
+
+def test_fit_multi_resolution_loss_runs():
+    x = jnp.asarray(make_test_signal("noise", SR // 2, SR, seed=3) * 0.2)
+    from ame_tpu.ops import eq as eq_ops
+    target = eq_ops.apply_eq_quality(x, SR, 3.0, 0.0, 0.0, 0.0)
+    fitted = automaster.fit_settings(x, SR, target, steps=25, lr=0.1,
+                                     multi_resolution=True)
+    assert fitted["bass_boost"] > 0.5, fitted
+    assert np.isfinite(fitted["loss"])
+
+
+def test_fit_profile_target_rejects_perceptual():
+    import pytest as _pytest
+    x = jnp.asarray(make_test_signal("noise", SR // 4, SR) * 0.2)
+    prof = automaster._logmel_profile(x, SR)
+    with _pytest.raises(ValueError):
+        automaster.fit_settings(x, SR, prof, target_is_profile=True,
+                                optimize_multiband=True)

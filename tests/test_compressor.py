@@ -196,3 +196,76 @@ def test_chunked_exact_multiband_matches_vmap_reference():
         [x_int], SR, [-20.0], [4.0], chunk)
     np.testing.assert_allclose(np.asarray(got), want, atol=2.0, rtol=0)
     assert np.median(np.abs(np.asarray(got) - want)) == 0.0
+
+
+def test_jacobi_convergence_flag_and_fallback():
+    """The Jacobi carry-relaxation engine must (a) converge and match the
+    scan on program-like content, (b) detect non-convergence on
+    translation-only maps (huge attack, never saturates) and fall back to
+    the exact sequential path."""
+    from ame_tpu.ops import pydub_gain as pg
+
+    rng = np.random.default_rng(3)
+    n = 9 * 16384
+    m = np.zeros(n, np.float32)
+    m[5000:60000] = 4 * np.abs(rng.standard_normal(55000)).astype(np.float32)
+    m[100000:120000] = 2.0
+    scal = jnp.asarray([[1 / 220.5, 1 / 2205.0]], jnp.float32)
+    m1 = (jnp.asarray(m)[None],)
+    resets = jnp.zeros((1, n // pg._K), jnp.float32)
+    outs, ok = pg._jacobi_try(1, m1, resets, scal, True)
+    assert ok.all()
+    ref = np.asarray(pg._gain_scan(jnp.asarray(m)[:, None], scal))[:, 0]
+    np.testing.assert_array_equal(np.asarray(outs[0]), ref)
+
+    # translation maps: the exactness front advances one segment/sweep, so
+    # with S(=32) segments > _RMAX(24) sweeps the carry vector cannot
+    # stabilize -> converged False and the public API falls back to the
+    # exact sequential path
+    n2 = 32 * 16384
+    resets2 = jnp.zeros((1, n2 // pg._K), jnp.float32)
+    m1 = (jnp.full((1, n2), 10.0, jnp.float32),)
+    outs, ok = pg._jacobi_try(1, m1, resets2, jnp.asarray(
+        [[1e-9, 1 / 2205.0]], jnp.float32), True)
+    assert not ok.any()
+    got = pg.pydub_gain_multi([jnp.full(n2, 10.0, jnp.float32)], 1e9,
+                              2205.0, interpret=True)
+    ref = np.asarray(pg._gain_scan(jnp.full((n2, 1), 10.0, jnp.float32),
+                                   jnp.asarray([[1e-9, 1 / 2205.0]],
+                                               jnp.float32)))[:, 0]
+    np.testing.assert_array_equal(np.asarray(got[0]), ref)
+
+
+def test_two_pass_path_still_exact(monkeypatch):
+    """The sequential two-pass engine stays the Jacobi fallback; keep it
+    under direct test with Jacobi disabled."""
+    from ame_tpu.ops import pydub_gain as pg
+
+    monkeypatch.setattr(pg, "_JACOBI", False)
+    rng = np.random.default_rng(4)
+    n = 50000
+    m = 3 * np.abs(rng.standard_normal(n)).astype(np.float32)
+    m[::5] = 0.0
+    got = pg.pydub_gain(jnp.asarray(m), 220.5, 2205.0, interpret=True)
+    ref = np.asarray(pg._gain_scan(
+        jnp.asarray(m)[:, None],
+        jnp.asarray([[1 / 220.5, 1 / 2205.0]], jnp.float32)))[:, 0]
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-5)
+
+
+def test_jacobi_chunked_resets_exact():
+    from ame_tpu.ops import pydub_gain as pg
+
+    rng = np.random.default_rng(5)
+    n = 80000
+    m = 2.5 * np.abs(rng.standard_normal(n)).astype(np.float32)
+    ms = [jnp.asarray(m), jnp.asarray(m * 0.5)]
+    chunk = 30000
+    got = pg.pydub_gain_chunked(ms, 220.5, 2205.0, chunk, interpret=True)
+    r = np.zeros(n, np.float32)
+    r[::chunk] = 1.0
+    ref = np.asarray(pg._gain_scan_reset(
+        jnp.stack(ms, axis=1), jnp.asarray(r)[:, None],
+        jnp.asarray([[1 / 220.5, 1 / 2205.0]], jnp.float32)))
+    for g in range(2):
+        np.testing.assert_array_equal(np.asarray(got[g]), ref[:, g])

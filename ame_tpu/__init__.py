@@ -20,8 +20,8 @@ enable_persistent_cache()
 
 __version__ = "0.1.0"
 
-__all__ = ["process_audio", "master_file", "StreamingMaster", "EQ_PRESETS",
-           "__version__"]
+__all__ = ["process_audio", "master_file", "StreamingMaster",
+           "StreamingCompatMaster", "EQ_PRESETS", "__version__"]
 
 
 def __getattr__(name):
@@ -30,7 +30,7 @@ def __getattr__(name):
     if name in ("process_audio", "master_file"):
         from ame_tpu import api
         return getattr(api, name)
-    if name == "StreamingMaster":
-        from ame_tpu.streaming import StreamingMaster
-        return StreamingMaster
+    if name in ("StreamingMaster", "StreamingCompatMaster"):
+        from ame_tpu import streaming
+        return getattr(streaming, name)
     raise AttributeError(f"module 'ame_tpu' has no attribute {name!r}")

@@ -134,8 +134,6 @@ def _stream_step(x, state, p, sr, A, phase, structure):
     lookahead window is complete.
     """
     analog_on, width_on, multiband_on = structure
-    rho = jnp.asarray(math.exp(-1.0 / (0.05 * sr)), jnp.float32)
-    ceiling = jnp.asarray(C.LIMITER_CEILING, jnp.float32)
 
     new_state = dict(state)
     if phase != "flush":
@@ -152,12 +150,23 @@ def _stream_step(x, state, p, sr, A, phase, structure):
         if multiband_on:
             y = _mb_stream(y, state, new_state, p, sr)
         y = y * 10.0 ** (p["gain_db"] / 20.0)
-        if phase == "first":
-            z = y
-        else:
-            z = jnp.concatenate([state["past"], state["pend"], y], axis=0)
     else:
+        y = x
+    return _limiter_tail(y, state, new_state, sr, A, phase)
+
+
+def _limiter_tail(y, state, new_state, sr, A, phase):
+    """Streaming lookahead-limiter block shared by the quality and compat
+    streamers: carries past/pend context + release state so emitted gains
+    match the offline ``lookahead_limiter`` exactly."""
+    rho = jnp.asarray(math.exp(-1.0 / (0.05 * sr)), jnp.float32)
+    ceiling = jnp.asarray(C.LIMITER_CEILING, jnp.float32)
+    if phase == "first":
+        z = y
+    elif phase == "flush":
         z = jnp.concatenate([state["past"], state["pend"]], axis=0)
+    else:
+        z = jnp.concatenate([state["past"], state["pend"], y], axis=0)
 
     L = z.shape[0]
     P = 0 if phase == "first" else A - 1
@@ -272,3 +281,125 @@ class StreamingMaster:
             jnp.zeros((0, 2), jnp.float32), self._state, self._p,
             self.sample_rate, self.attack, "flush", self._structure)
         return np.asarray(y)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _limiter_step(y, state, sr, A, phase):
+    """Limiter-only streaming step (compat streamer: the block DSP runs in
+    the stage jits; only the limiter carries cross-block state)."""
+    return _limiter_tail(y, state, dict(state), sr, A, phase)
+
+
+class StreamingCompatMaster:
+    """Streaming mastering with the REFERENCE's semantics: input is cut
+    into 30 s blocks and each block runs the compat chain with fresh
+    filter/compressor state (quirk Q6, audio_mastering_engine.py:178,
+    185-204) and per-stage int16 requantization (Q5), while the final
+    lookahead limiter runs CONTINUOUSLY across blocks exactly like the
+    reference's whole-track alimiter pass (engine:223).
+
+    Two-pass loudnorm is inherently offline; pass ``gain_db`` instead
+    (applied before the limiter, then requantized like loudnorm pass-2's
+    pcm_s16le output when nonzero). Latency is one 30 s block plus the
+    limiter lookahead — this mode exists for parity/regression use, not
+    low latency; ``StreamingMaster`` is the low-latency product path.
+
+    ``process(chunk)`` accepts [n, 2] float32 of ANY size (internally
+    buffered to blocks) and returns whatever samples completed; ``flush``
+    processes the final partial block and drains the limiter."""
+
+    def __init__(self, sample_rate: float, settings=None,
+                 gain_db: float = 0.0):
+        if settings is None:
+            settings = MasterSettings()
+        elif not isinstance(settings, MasterSettings):
+            settings = MasterSettings.from_dict(dict(settings))
+        self.sample_rate = float(sample_rate)
+        self.block_len = int(C.COMPAT_CHUNK_SECONDS * sample_rate)
+        self.attack = max(int(C.LIMITER_ATTACK_MS * sample_rate / 1000.0), 1)
+        self._s = settings
+        self._gain = float(gain_db)
+        from ame_tpu.graph.chain import params_from_settings
+        self._p = params_from_settings(settings)
+        A = self.attack
+        self._state = {
+            "past": jnp.zeros((A - 1, 2), jnp.float32),
+            "pend": jnp.zeros((A - 1, 2), jnp.float32),
+            "u_prev": jnp.zeros((), jnp.float32),
+        }
+        self._buf = np.zeros((0, 2), np.float32)
+        self._first = True
+        self._done = False
+
+    @property
+    def latency_samples(self) -> int:
+        return self.block_len + self.attack - 1
+
+    def _run_block(self, block: jax.Array) -> jax.Array:
+        """One 30 s (or final partial) block through the compat DSP with
+        fresh state — graph/chain.py's stage jits with chunk_len=None."""
+        from ame_tpu.graph import chain as G
+        from ame_tpu.ops import quantize
+        s, p = self._s, self._p
+        y = block
+        if s.analog_character > 0:
+            y = G._stage_analog_compat(y, p["analog"], self.sample_rate,
+                                       None)
+        y = G._stage_eq_width_compat(y, p["bass"], p["mid_cut"],
+                                     p["presence"], p["treble"],
+                                     self.sample_rate, None,
+                                     s.width != 1.0, p["width"])
+        if s.multiband:
+            y = G._stage_multiband_compat(y, p["threshs"], p["ratios"],
+                                          self.sample_rate, True, None)
+        if self._gain != 0.0:
+            y = quantize.int16_roundtrip(y * 10.0 ** (self._gain / 20.0))
+        return y
+
+    def _emit(self, y: jax.Array) -> np.ndarray:
+        phase = "first" if self._first else "steady"
+        self._first = False
+        out, self._state = _limiter_step(y, self._state, self.sample_rate,
+                                         self.attack, phase)
+        return np.asarray(out)
+
+    def process(self, chunk) -> np.ndarray:
+        if self._done:
+            raise RuntimeError("stream already flushed")
+        x = np.asarray(chunk, np.float32)
+        if x.ndim != 2 or x.shape[1] != 2:
+            raise ValueError("chunk must be [n, 2]")
+        self._buf = np.concatenate([self._buf, x], axis=0)
+        outs = []
+        while self._buf.shape[0] >= self.block_len:
+            block, self._buf = (self._buf[:self.block_len],
+                                self._buf[self.block_len:])
+            outs.append(self._emit(self._run_block(jnp.asarray(block))))
+        if not outs:
+            return np.zeros((0, 2), np.float32)
+        return np.concatenate(outs, axis=0)
+
+    def flush(self) -> np.ndarray:
+        if self._done:
+            return np.zeros((0, 2), np.float32)
+        self._done = True
+        outs = []
+        if self._buf.shape[0]:
+            tail = self._run_block(jnp.asarray(self._buf))
+            self._buf = np.zeros((0, 2), np.float32)
+            if self._first and tail.shape[0] < 2 * self.attack - 1:
+                # a sub-lookahead-only stream: fall back to the offline
+                # limiter (no context to stream over)
+                from ame_tpu.ops.limiter import lookahead_limiter
+                return np.asarray(lookahead_limiter(
+                    tail, self.sample_rate, C.LIMITER_CEILING,
+                    C.LIMITER_ATTACK_MS, C.LIMITER_RELEASE_MS))
+            outs.append(self._emit(tail))
+        if not self._first:
+            out, self._state = _limiter_step(
+                jnp.zeros((0, 2), jnp.float32), self._state,
+                self.sample_rate, self.attack, "flush")
+            outs.append(np.asarray(out))
+        if not outs:
+            return np.zeros((0, 2), np.float32)
+        return np.concatenate(outs, axis=0)

@@ -137,3 +137,83 @@ def test_stream_input_validation():
     sm.flush()
     with pytest.raises(RuntimeError):
         sm.process(np.zeros((4096, 2), np.float32))
+
+
+class TestCompatStreaming:
+    """StreamingCompatMaster == the offline compat chunked graph (30 s
+    block resets, Q5/Q6) with a continuous limiter, fed incrementally."""
+
+    SRC = 16000  # keeps the 30 s block tractable on CPU
+
+    def _x(self, n, seed=2):
+        rng = np.random.default_rng(seed)
+        t = np.arange(n) / self.SRC
+        x = (0.2 * np.sin(2 * np.pi * 220 * t)
+             + 0.1 * np.sin(2 * np.pi * 3000 * t)
+             + 0.02 * rng.standard_normal(n))
+        x *= 0.4 + 0.6 * np.sin(2 * np.pi * 0.25 * t) ** 2
+        x = np.stack([x, 0.85 * x], axis=1).astype(np.float32)
+        return np.round(np.clip(x, -1, 1) * 32767) / 32768
+
+    def test_matches_offline_compat_chunked(self):
+        from ame_tpu.config import MasterSettings
+        from ame_tpu.graph.chain import master_graph
+        from ame_tpu.streaming import StreamingCompatMaster
+
+        n = int(2.4 * 30 * self.SRC)  # 2 full blocks + a partial tail
+        x = self._x(n)
+        s = MasterSettings(bass_boost=2.0, presence_boost=1.0, width=1.2,
+                           analog_character=15.0, lufs=None, mode="compat",
+                           compat_chunked=True)
+        want, _ = master_graph(jnp.asarray(x), self.SRC, s)
+        want = np.asarray(want)
+
+        sm = StreamingCompatMaster(self.SRC, s)
+        outs = []
+        step = 100000  # deliberately unaligned with the 30 s block
+        for i in range(0, n, step):
+            outs.append(sm.process(x[i:i + step]))
+        outs.append(sm.flush())
+        got = np.concatenate([o for o in outs if len(o)], axis=0)
+        assert got.shape == want.shape, (got.shape, want.shape)
+        # the offline path quantizes through vmapped chunks, the streamer
+        # per block: f32 op order can flip an int16 rounding tie by 1 LSB
+        err = np.abs(got - want)
+        assert err.max() <= 1.0 / 32768 + 1e-6, err.max()
+        assert (err > 1e-6).mean() < 0.001
+
+    def test_multiband_blocks(self):
+        from ame_tpu.config import MasterSettings
+        from ame_tpu.graph.chain import master_graph
+        from ame_tpu.streaming import StreamingCompatMaster
+
+        n = int(1.5 * 30 * self.SRC)
+        x = self._x(n, seed=9)
+        s = MasterSettings(multiband=True, low_thresh=-30.0, low_ratio=5.0,
+                           mid_thresh=-25.0, mid_ratio=3.0,
+                           high_thresh=-22.0, high_ratio=4.0,
+                           lufs=None, mode="compat", compat_chunked=True)
+        want = np.asarray(master_graph(jnp.asarray(x), self.SRC, s)[0])
+        sm = StreamingCompatMaster(self.SRC, s)
+        got = np.concatenate([sm.process(x), sm.flush()], axis=0)
+        assert got.shape == want.shape
+        # the exact compressor runs per block here vs vmapped chunks
+        # offline; f32 detector/gain order differences land within a few
+        # int16 LSBs on isolated samples
+        err = np.abs(got - want)
+        assert err.max() <= 8.0 / 32768, err.max()
+        assert np.quantile(err, 0.999) <= 1.0 / 32768 + 1e-6
+        assert np.median(err) == 0.0
+
+    def test_short_stream(self):
+        """A stream shorter than one block still masters (single partial
+        block through the offline-limiter fallback)."""
+        from ame_tpu.streaming import StreamingCompatMaster
+
+        x = self._x(2000)
+        sm = StreamingCompatMaster(self.SRC, {"bass_boost": 1.0,
+                                              "mode": "compat"})
+        assert sm.process(x).shape == (0, 2)
+        out = sm.flush()
+        assert out.shape == x.shape
+        assert np.isfinite(out).all()

@@ -119,6 +119,24 @@ def main(argv=None) -> int:
     pf.add_argument("--manifest", default=None)
     _add_master_args_fleet(pf)
 
+    pu = sub.add_parser(
+        "automaster",
+        help="fit mastering settings so INPUT spectrally matches REF "
+             "(differentiable chain, gradient descent on device)")
+    pu.add_argument("input")
+    pu.add_argument("ref", help="reference track to match")
+    pu.add_argument("output", nargs="?", default=None,
+                    help="when given, master INPUT with the fitted "
+                         "settings and write the result here")
+    pu.add_argument("--steps", type=int, default=200)
+    pu.add_argument("--lr", type=float, default=0.05)
+    pu.add_argument("--multiband", action="store_true",
+                    help="also fit the 6 multiband compressor parameters")
+    pu.add_argument("--multi-resolution", action="store_true",
+                    help="spectral loss over multiple FFT windows")
+    pu.add_argument("--lufs", type=float, default=-14.0)
+    pu.add_argument("--no-lufs", action="store_true")
+
     args = parser.parse_args(argv)
 
     if args.cmd == "master":
@@ -150,6 +168,37 @@ def main(argv=None) -> int:
     if args.cmd == "gui":
         from ame_tpu.gui import run_gui
         run_gui()
+        return 0
+
+    if args.cmd == "automaster":
+        import jax.numpy as jnp
+        from ame_tpu.io import read_audio
+        from ame_tpu.models.automaster import fit_settings
+        from ame_tpu.ops.resample import resample
+
+        def _stereo(a):
+            return a if a.shape[1] == 2 else a.repeat(2, axis=1)
+
+        x, sr_x = read_audio(args.input)
+        t, sr_t = read_audio(args.ref)
+        x, t = _stereo(x), _stereo(t)
+        if sr_t != sr_x:
+            t = resample(jnp.asarray(t), sr_t, sr_x)
+        fitted = fit_settings(jnp.asarray(x), sr_x, jnp.asarray(t),
+                              steps=args.steps, lr=args.lr,
+                              optimize_multiband=args.multiband,
+                              multi_resolution=args.multi_resolution,
+                              verbose=True)
+        print(json.dumps(fitted))
+        if args.output:
+            from ame_tpu.api import master_file
+            settings = dict(fitted)
+            settings.pop("loss", None)
+            settings["lufs"] = None if args.no_lufs else args.lufs
+            info = master_file(
+                args.input, args.output, settings,
+                lambda m: print(f"[status] {m}", file=sys.stderr))
+            print(json.dumps(info))
         return 0
 
     if args.cmd == "fleet":

@@ -48,3 +48,33 @@ def test_cli_fleet(track, tmp_path, capsys):
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["done"] == 1
+
+
+def test_automaster_command(tmp_path, capsys):
+    """CLI automaster: fit settings toward a bass-boosted reference and
+    optionally master with them."""
+    import json
+    import jax.numpy as jnp
+    from ame_tpu.cli import main
+    from ame_tpu.io.wav import write_wav
+    from ame_tpu.ops import eq
+    from tests.conftest import make_test_signal
+
+    sr = 44100
+    x = make_test_signal("noise", sr, sr) * 0.2
+    t = np.asarray(eq.apply_eq_quality(jnp.asarray(x), sr, 4.0, 0.0, 0.0,
+                                       0.0))
+    src = tmp_path / "src.wav"
+    ref = tmp_path / "ref.wav"
+    out = tmp_path / "out.wav"
+    write_wav(str(src), x, sr)
+    write_wav(str(ref), np.clip(t, -1, 1), sr)
+
+    rc = main(["automaster", str(src), str(ref), str(out),
+               "--steps", "40", "--lr", "0.1", "--no-lufs"])
+    assert rc == 0
+    lines = [ln for ln in capsys.readouterr().out.strip().splitlines()
+             if ln.startswith("{")]
+    fitted = json.loads(lines[0])
+    assert fitted["bass_boost"] > 0.5, fitted
+    assert out.exists()

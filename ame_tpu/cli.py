@@ -177,7 +177,11 @@ def main(argv=None) -> int:
         from ame_tpu.ops.resample import resample
 
         def _stereo(a):
-            return a if a.shape[1] == 2 else a.repeat(2, axis=1)
+            if a.shape[1] == 2:
+                return a
+            if a.shape[1] == 1:
+                return a.repeat(2, axis=1)
+            return a[:, :2]  # multichannel: use the front pair
 
         x, sr_x = read_audio(args.input)
         t, sr_t = read_audio(args.ref)

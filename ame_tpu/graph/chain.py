@@ -76,9 +76,14 @@ def _stage_eq_width_compat(x, bass, mid_cut, presence, treble,
     return quantize.int16_roundtrip(y)
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5))
 def _stage_multiband_compat(x, threshs, ratios, sample_rate, exact,
                             chunk_len):
+    # Deliberately NOT wrapped in jax.jit: the exact pydub-gain engine
+    # needs one host synchronization for its Jacobi convergence verdict
+    # (ops/pydub_gain._gain_engine), so the stage composes its internally
+    # jitted pieces (crossover bank, detector, gain engine, attenuation)
+    # eagerly. Under an enclosing jit (master_graph_fused) the engine
+    # detects the trace and takes the fully-traceable two-pass path.
     return mb.multiband_compat(x, sample_rate, threshs, ratios,
                                exact=exact, chunk_len=chunk_len)
 

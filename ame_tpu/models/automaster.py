@@ -39,7 +39,6 @@ from ame_tpu.ops import eq, saturate, stereo
 
 N_MELS = 64
 N_FFT = 2048
-HOP = 1024
 MULTI_RES_FFTS = (512, 2048)    # transient + tonal windows
 DYN_FRAME_S = 0.4               # band-dynamics RMS frame (BS.1770 block)
 
@@ -58,8 +57,13 @@ def _band_dynamics(x: jax.Array, sample_rate: float) -> jax.Array:
     signature the spectral profile cannot see. Bands are the same LR4
     crossovers the multiband compressor uses."""
     from ame_tpu.graph.multiband import quality_band_split
-    bands = quality_band_split(x, float(sample_rate))   # 3 x [N, 2]
     frame = max(int(DYN_FRAME_S * sample_rate), 1)
+    if x.shape[0] < 2 * frame:
+        raise ValueError(
+            f"band-dynamics loss needs >= {2 * frame} samples "
+            f"(2 x {DYN_FRAME_S}s frames) — got {x.shape[0]}; "
+            "use dynamics_weight=0 for short clips")
+    bands = quality_band_split(x, float(sample_rate))   # 3 x [N, 2]
     outs = []
     for b in bands:
         n = (b.shape[0] // frame) * frame

@@ -63,6 +63,7 @@ from ame_tpu.ops.scan_iir import biquad_scan
 # Shared detector
 # ---------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnums=(1, 4))
 def pydub_detector(x_int: jax.Array, sample_rate: float, threshold_db,
                    ratio, attack_ms: float = 5.0):
     """Per-frame integer RMS + max-attenuation, pydub conventions.
@@ -91,6 +92,7 @@ def pydub_detector(x_int: jax.Array, sample_rate: float, threshold_db,
     return rms, max_att, thresh_rms
 
 
+@jax.jit
 def _apply_attenuation_int(x_int: jax.Array, att_db: jax.Array) -> jax.Array:
     """audioop.mul semantics: scale int16 samples, truncate toward zero,
     saturate. att == 0 exactly -> bit-identical passthrough."""

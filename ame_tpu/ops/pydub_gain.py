@@ -52,10 +52,12 @@ So:
 Both passes evaluate the identical update expression, so the result equals
 the sequential chain up to compiler rounding of the same f32 ops.
 
-Routing: the Pallas path costs a Mosaic compile per shape bucket, so short
-inputs (< 2^21 samples, proven safe for ``lax.scan`` on this runtime) and
-CPU use a plain scan. ``interpret=True`` forces the two-pass path through
-the Pallas interpreter for cross-checking on CPU.
+Routing: the Pallas engines cost a Mosaic compile per shape bucket, so
+short inputs (< 2^15 samples) and CPU use a plain scan. ``interpret=True``
+forces the Pallas engines (Jacobi first, two-pass fallback) through the
+Pallas interpreter for cross-checking on CPU. Under a jit trace the
+Jacobi verdict's host sync is unavailable, so traced callers take the
+fully-traceable two-pass path (see _gain_engine).
 """
 
 from __future__ import annotations
@@ -361,10 +363,11 @@ def _jac_call(m3, r2, c, scal, full, interpret, S, seg_len, TT):
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
-def _jacobi_run(m3, r2, scal, S, seg_len, TT, interpret):
+def _jacobi_carries(m3, r2, scal, S, seg_len, TT, interpret):
     """m3: [G, S, seg_len]; r2: [S, seg_len] per-sample reset flags
     (nonzero only on K-group-start samples; shared by all G chains).
-    Returns (att [G, S, seg_len], converged bool)."""
+    Returns (carries [G, S], converged [G]) — the full-output sweep runs
+    separately (and only when something converged)."""
     G = m3.shape[0]
     # Identity segments (all-zero m, reset-free: every step is att -> att
     # EXACTLY, so skipping them reassociates nothing) are bridged by
@@ -390,8 +393,11 @@ def _jacobi_run(m3, r2, scal, S, seg_len, TT, interpret):
 
     def body(st):
         c_cur, _, j = st
+        # carry sweeps reuse the full pass's tile size (larger carry
+        # tiles measured ~13% slower end to end: the extra DMA per grid
+        # step did not pay for the fewer steps)
         (co,) = _jac_call(m3, r2, c_cur, scal, False, interpret,
-                          S, seg_len, _carry_tt(seg_len, TT))
+                          S, seg_len, TT)
         # ACCEPTANCE (per band): the refreshed carries must reproduce the
         # carries just used, i.e. c[s+1] == f_s(c[s]) bit-for-bit (with
         # identity segments skipped exactly) — exact by induction from
@@ -404,14 +410,13 @@ def _jacobi_run(m3, r2, scal, S, seg_len, TT, interpret):
     c_cur, converged, _ = jax.lax.while_loop(
         cond, body, (c0, jnp.zeros((G,), jnp.bool_),
                      jnp.zeros((), jnp.int32)))
-    res = _jac_call(m3, r2, c_cur, scal, True, interpret, S, seg_len, TT)
-    return jnp.stack(res[1:]), converged
+    return c_cur, converged
 
 
-def _carry_tt(seg_len: int, tt_full: int) -> int:
-    # measured on v5e at G=3: carry sweeps run fastest at the same 128
-    # tile as the full pass (256 was ~13% slower end to end)
-    return tt_full
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _jacobi_full(m3, r2, c, scal, S, seg_len, TT, interpret):
+    res = _jac_call(m3, r2, c, scal, True, bool(interpret), S, seg_len, TT)
+    return jnp.stack(res[1:])
 
 
 def _select_S(npad: int) -> int:
@@ -441,13 +446,20 @@ def _jacobi_try(G, m1, resets, scal, interpret):
         .reshape(S, seg_len)
     m3 = jnp.stack([jnp.pad(m1[g][0], (0, npad2 - npad)).reshape(
         S, seg_len) for g in range(G)])
-    att, ok = _jacobi_run(m3, r2, scal, S, seg_len, TT, bool(interpret))
+    c_fix, ok = _jacobi_carries(m3, r2, scal, S, seg_len, TT,
+                                bool(interpret))
+    okh = np.asarray(ok)               # ONE host sync for the verdict
+    if not okh.any():
+        return None, okh               # skip the full sweep entirely
+    att = _jacobi_full(m3, r2, c_fix, scal, S, seg_len, TT,
+                       bool(interpret))
     outs = [att[g].reshape(npad2)[:npad] for g in range(G)]
-    return outs, np.asarray(ok)
+    return outs, okh
 
 
 _jacobi_fail_streak = 0
 _JACOBI_BREAKER = 3   # consecutive all-band failures before standing down
+_JACOBI_PROBE_EVERY = 16  # tripped breaker still probes 1-in-N calls
 
 
 def _gain_engine(G, m1, resets, scal, interpret):
@@ -455,22 +467,33 @@ def _gain_engine(G, m1, resets, scal, interpret):
     two-pass path for any chain whose carries did not reach the exact
     fixed point. Returns a list of G [npad] attenuations.
 
+    The Jacobi verdict needs a host synchronization, so under a jit trace
+    (a caller wrapped the whole stage in jax.jit) this routes straight to
+    the fully-traceable two-pass path.
+
     A consecutive-failure breaker skips the Jacobi attempt after
     _JACOBI_BREAKER calls where NO band converged (e.g. batch jobs of
     dense-noise content whose detector episodes are shorter than the
-    attack time); one later success re-arms it."""
+    attack time); while tripped, one call in _JACOBI_PROBE_EVERY still
+    tries, and any band converging re-arms the engine."""
     global _jacobi_fail_streak
-    if _JACOBI and _jacobi_fail_streak < _JACOBI_BREAKER:
+    traced = isinstance(m1[0], jax.core.Tracer)
+    tripped = _jacobi_fail_streak >= _JACOBI_BREAKER
+    probe = tripped and (_jacobi_fail_streak % _JACOBI_PROBE_EVERY == 0)
+    if _JACOBI and not traced and (not tripped or probe):
         outs, ok = _jacobi_try(G, m1, resets, scal, interpret)
         _jacobi_fail_streak = 0 if ok.any() else _jacobi_fail_streak + 1
-        bad = [g for g in range(G) if not ok[g]]
-        if not bad:
+        if outs is not None:
+            bad = [g for g in range(G) if not ok[g]]
+            if not bad:
+                return outs
+            fixed = _two_pass(len(bad), tuple(m1[g] for g in bad), resets,
+                              scal, interpret)
+            for i, g in enumerate(bad):
+                outs[g] = fixed[i][:outs[g].shape[0]]
             return outs
-        fixed = _two_pass(len(bad), tuple(m1[g] for g in bad), resets,
-                          scal, interpret)
-        for i, g in enumerate(bad):
-            outs[g] = fixed[i][:outs[g].shape[0]]
-        return outs
+    elif tripped and not traced:
+        _jacobi_fail_streak += 1   # advance toward the next probe
     return [a[:m1[0].shape[1]] for a in
             _two_pass(G, m1, resets, scal, interpret)]
 

@@ -83,6 +83,11 @@ class GCSBlobBackend:
             dest_path)
         return True
 
+    def delete(self, gcs_uri: str) -> None:
+        prefix = f"gs://{self.bucket_name}/"
+        if gcs_uri.startswith(prefix):
+            self.bucket.blob(gcs_uri[len(prefix):]).delete()
+
 
 class JobStore:
     """Job/state registry + on-disk blobs.
@@ -226,12 +231,27 @@ class JobStore:
                 if (job.get("status") in ("done", "error")
                         and now - job.get("created", now) > self.ttl_s):
                     expired.append((name, self.jobs.pop(name)))
+            # inputs still referenced by surviving jobs (a client may
+            # reuse one upload across jobs) must not be deleted
+            live_inputs = set()
+            for job in self.jobs.values():
+                fp = (job.get("settings") or {}).get("input_file")
+                if fp:
+                    live_inputs.add(os.path.basename(fp))
         for name, job in expired:
             stem = os.path.splitext(name)[0]
             doomed = [self.output_path(name),
                       self.output_path(stem + ".mp3"),
-                      self.output_path(stem + "_art.png"),
-                      (job.get("settings") or {}).get("input_file", "")]
+                      self.output_path(stem + "_art.png")]
+            in_file = (job.get("settings") or {}).get("input_file", "")
+            if in_file and os.path.basename(in_file) not in live_inputs:
+                doomed.append(in_file)
+                gcs_uri = (job.get("settings") or {}).get("gcs_uri", "")
+                if gcs_uri.startswith("gs://") and self.gcs is not None:
+                    try:
+                        self.gcs.delete(gcs_uri)
+                    except Exception:
+                        log.exception("gc: GCS delete failed %s", gcs_uri)
             if job.get("art_file"):
                 doomed.append(self.output_path(
                     os.path.basename(job["art_file"])))
@@ -242,12 +262,6 @@ class JobStore:
                     except OSError:
                         pass
             log.info("gc: expired job %s", name)
-        live_inputs = set()
-        with self.lock:
-            for job in self.jobs.values():
-                fp = (job.get("settings") or {}).get("input_file")
-                if fp:
-                    live_inputs.add(os.path.basename(fp))
         try:
             for fn in os.listdir(self.uploads):
                 fp = os.path.join(self.uploads, fn)
@@ -336,6 +350,7 @@ class Handler(BaseHTTPRequestHandler):
                 out_name = f"{stem}_mastered.wav"
                 art_name = f"{stem}_mastered_art.png"
                 settings["input_file"] = input_path
+                settings["gcs_uri"] = uri   # lets TTL GC drop the object
                 settings["output_file"] = self.store.output_path(out_name)
                 self.store.create_job(out_name, {
                     "status": "processing", "messages": [],

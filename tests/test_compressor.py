@@ -269,3 +269,34 @@ def test_jacobi_chunked_resets_exact():
         jnp.asarray([[1 / 220.5, 1 / 2205.0]], jnp.float32)))
     for g in range(2):
         np.testing.assert_array_equal(np.asarray(got[g]), ref[:, g])
+
+
+def test_gain_engine_traceable_under_jit():
+    """A caller may wrap the whole stage in jax.jit (master_graph_fused
+    does): the gain engine must detect the trace and take the fully
+    traceable two-pass path instead of crashing on its host-side Jacobi
+    convergence fetch."""
+    import jax
+    from ame_tpu.ops import pydub_gain as pg
+
+    rng = np.random.default_rng(6)
+    n = 50000
+    m = 3 * np.abs(rng.standard_normal(n)).astype(np.float32)
+    m[::4] = 0.0
+    jf = jax.jit(lambda z: pg.pydub_gain_multi([z], 220.5, 2205.0,
+                                               interpret=True)[0])
+    got = np.asarray(jf(jnp.asarray(m)))
+    ref = np.asarray(pg._gain_scan(
+        jnp.asarray(m)[:, None],
+        jnp.asarray([[1 / 220.5, 1 / 2205.0]], jnp.float32)))[:, 0]
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    # fused compat graph end-to-end (the original crash site)
+    from ame_tpu.config import MasterSettings
+    from ame_tpu.graph.chain import master_graph_fused
+    x = jnp.asarray(np.round(np.clip(
+        0.3 * rng.standard_normal((40000, 2)), -1, 1) * 32767) / 32768,
+        jnp.float32)
+    s = MasterSettings(multiband=True, lufs=None, mode="compat")
+    y, _ = master_graph_fused(x, 44100.0, s)
+    assert np.isfinite(np.asarray(y)).all()

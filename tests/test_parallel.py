@@ -84,3 +84,24 @@ def test_sharded_train_step_runs_and_learns():
             losses.append(float(loss))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0], losses
+
+
+def test_master_batch_matches_single_track_graph():
+    """The host-designed batch chain must match the single-track quality
+    graph per track (coefficients designed in f64 numpy vs the graph's
+    in-graph f32 design: tiny rounding differences only)."""
+    import jax.numpy as jnp
+    from ame_tpu.config import MasterSettings
+    from ame_tpu.graph.chain import master_graph
+    from ame_tpu.parallel.batch import master_batch
+
+    rng = np.random.default_rng(4)
+    n = 1 << 15
+    xs = jnp.asarray(0.15 * rng.standard_normal((3, n, 2)), jnp.float32)
+    s = MasterSettings(bass_boost=2.0, presence_boost=1.0, mid_cut=1.0,
+                       treble_boost=-1.0, width=1.3, analog_character=20.0,
+                       multiband=True, lufs=-14.0)
+    ys = np.asarray(master_batch(xs, 44100.0, s))
+    for b in range(3):
+        want, _ = master_graph(xs[b], 44100.0, s)
+        np.testing.assert_allclose(ys[b], np.asarray(want), atol=3e-4)

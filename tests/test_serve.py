@@ -305,6 +305,18 @@ def test_gc_expired_jobs_and_orphan_uploads(tmp_path):
     store2 = JobStore(str(tmp_path), ttl_s=100.0)
     assert "old_mastered.wav" not in store2.jobs
 
+    # an expired job whose input is shared with a surviving job must not
+    # delete that input
+    shared = blob(os.path.join(store.uploads, "shared.wav"))
+    store.create_job("a_mastered.wav", {
+        "status": "done", "created": now - 1000,
+        "settings": {"input_file": shared}})
+    store.create_job("b_mastered.wav", {
+        "status": "processing", "created": now,
+        "settings": {"input_file": shared}})
+    assert store.gc_expired(now=now) == 1
+    assert os.path.exists(shared)
+
 
 def test_resolve_input_local_and_gs_fallback(tmp_path):
     import os

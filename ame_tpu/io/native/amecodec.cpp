@@ -412,8 +412,8 @@ bool decode_subframe(BitReader& br, int blocksize, int bps,
 
 }  // namespace flacdec
 
-extern "C" int ame_flac_decode(const char* path, float** out, long* n_frames,
-                               int* channels, int* rate) {
+static int ame_flac_decode_impl(const char* path, float** out,
+                                long* n_frames, int* channels, int* rate) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
   std::fseek(f, 0, SEEK_END);
@@ -458,8 +458,14 @@ extern "C" int ame_flac_decode(const char* path, float** out, long* n_frames,
   if (!have_si || br.error || si_channels < 1 || si_channels > 8) return -4;
 
   std::vector<std::vector<float>> pcm(si_channels);
-  if (si_total)
-    for (auto& v : pcm) v.reserve(si_total);
+  // si_total is an untrusted 36-bit field: cap the reserve hint (a
+  // corrupted value of ~2^36 raised std::bad_alloc and aborted the
+  // process — found by tests/test_flac.py fuzzing). The vectors still
+  // grow as needed if the hint undershoots.
+  uint64_t reserve_cap =
+      std::min<uint64_t>(si_total, static_cast<uint64_t>(fsize) * 8);
+  if (reserve_cap)
+    for (auto& v : pcm) v.reserve(reserve_cap);
 
   static const int kBlockSizes[16] = {0,   192, 576,  1152, 2304, 4608, -1,
                                       -2,  256, 512,  1024, 2048, 4096, 8192,
@@ -560,4 +566,17 @@ extern "C" int ame_flac_decode(const char* path, float** out, long* n_frames,
   *channels = si_channels;
   *rate = si_rate;
   return 0;
+}
+
+extern "C" int ame_flac_decode(const char* path, float** out, long* n_frames,
+                               int* channels, int* rate) {
+  // Exception barrier: this decoder runs in-process on untrusted uploads
+  // (serve tier); a C++ exception escaping the C boundary would abort
+  // the host. Allocation failures from corrupted size fields become a
+  // clean error return instead.
+  try {
+    return ame_flac_decode_impl(path, out, n_frames, channels, rate);
+  } catch (...) {
+    return -7;
+  }
 }

@@ -253,3 +253,53 @@ def test_flac_mid_side_and_fixed2(tmp_path):
     y, sr = read_flac(str(p))
     np.testing.assert_allclose(y[:, 0], left / 32768.0, atol=1e-7)
     np.testing.assert_allclose(y[:, 1], right / 32768.0, atol=1e-7)
+
+
+def test_flac_decoder_fuzz_mutations(tmp_path):
+    """Structured fuzz (ADVICE r1): random byte flips, truncations, and
+    splices of a valid stream must never crash the process — the decoder
+    either returns data or raises a clean Python error. (The serve tier
+    decodes untrusted uploads in-process, so a segfault here is a
+    denial-of-service.)"""
+    rng = np.random.default_rng(0xF1AC)
+    n = 192
+    vals = rng.integers(-400, 400, (n, 2)).astype(np.int64)
+    bw = BitWriter()
+    _frame_header(bw, 1, 1, 0)
+    for c in range(2):
+        bw.w(0, 1)
+        bw.w(8, 6)   # FIXED order 0
+        bw.w(0, 1)
+        bw.w(0, 2)
+        bw.w(0, 4)
+        bw.w(10, 4)
+        _rice_encode(bw, [int(v) for v in vals[:, c]], 10)
+    bw.align()
+    bw.w(0, 16)
+    blob = bytearray(_flac_file([bw.bytes()], total=n))
+
+    from ame_tpu.io.flac import read_flac
+    p = tmp_path / "fuzz.flac"
+    ok = crashedless = 0
+    for trial in range(300):
+        mut = bytearray(blob)
+        kind = trial % 3
+        if kind == 0:      # byte flips (1-8 positions)
+            for _ in range(int(rng.integers(1, 9))):
+                i = int(rng.integers(0, len(mut)))
+                mut[i] ^= int(rng.integers(1, 256))
+        elif kind == 1:    # truncate
+            mut = mut[:int(rng.integers(1, len(mut)))]
+        else:              # splice random garbage into the middle
+            i = int(rng.integers(0, len(mut)))
+            mut[i:i] = bytes(rng.integers(0, 256, int(rng.integers(1, 64)),
+                                          dtype=np.uint8))
+        p.write_bytes(bytes(mut))
+        try:
+            y, sr = read_flac(str(p))
+            assert np.isfinite(np.asarray(y, np.float64)).all()
+            ok += 1
+        except Exception:
+            pass          # clean rejection is fine
+        crashedless += 1
+    assert crashedless == 300

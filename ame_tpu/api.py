@@ -59,7 +59,7 @@ def master_file(input_file: str, output_file: str,
     """
     import jax.numpy as jnp
     from ame_tpu.graph.chain import master_graph
-    from ame_tpu.io import read_audio, write_audio
+    from ame_tpu.io import force_stereo, read_audio, write_audio
     from ame_tpu.ops import quantize
 
     if settings is None:
@@ -76,10 +76,7 @@ def master_file(input_file: str, output_file: str,
 
     # engine:190-191 conditioning: force stereo; compat mode also forces the
     # int16 grid (set_sample_width(2) semantics).
-    if audio.shape[1] == 1:
-        audio = np.repeat(audio, 2, axis=1)
-    elif audio.shape[1] > 2:
-        audio = audio[:, :2]
+    audio = force_stereo(audio)
     n = audio.shape[0]
     num_chunks = max(int(math.ceil(n / (COMPAT_CHUNK_SECONDS * sr))), 1)
     total_steps = num_chunks + 4

@@ -172,20 +172,13 @@ def main(argv=None) -> int:
 
     if args.cmd == "automaster":
         import jax.numpy as jnp
-        from ame_tpu.io import read_audio
+        from ame_tpu.io import force_stereo, read_audio
         from ame_tpu.models.automaster import fit_settings
         from ame_tpu.ops.resample import resample
 
-        def _stereo(a):
-            if a.shape[1] == 2:
-                return a
-            if a.shape[1] == 1:
-                return a.repeat(2, axis=1)
-            return a[:, :2]  # multichannel: use the front pair
-
         x, sr_x = read_audio(args.input)
         t, sr_t = read_audio(args.ref)
-        x, t = _stereo(x), _stereo(t)
+        x, t = force_stereo(x), force_stereo(t)
         if sr_t != sr_x:
             t = resample(jnp.asarray(t), sr_t, sr_x)
         fitted = fit_settings(jnp.asarray(x), sr_x, jnp.asarray(t),

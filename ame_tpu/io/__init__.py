@@ -5,4 +5,5 @@ Replaces the reference's ffmpeg subprocess decode/segment/export
 tracks decode straight into one [N, C] float32 buffer bound for HBM.
 """
 
-from ame_tpu.io.audio_file import read_audio, write_audio  # noqa: F401
+from ame_tpu.io.audio_file import (force_stereo, read_audio,  # noqa: F401
+                                   write_audio)

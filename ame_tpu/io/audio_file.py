@@ -18,6 +18,17 @@ from ame_tpu.io import codecs as _codecs
 from ame_tpu.io import flac as _flac
 
 
+def force_stereo(audio: np.ndarray) -> np.ndarray:
+    """[N, C] -> [N, 2]: mono duplicated, multichannel keeps the front
+    pair (the reference's set_channels(2) conditioning,
+    audio_mastering_engine.py:190)."""
+    if audio.shape[1] == 1:
+        return np.repeat(audio, 2, axis=1)
+    if audio.shape[1] > 2:
+        return audio[:, :2]
+    return audio
+
+
 def read_audio(path: str):
     """Decode any supported file -> ([N, C] float32 in [-1, 1), rate)."""
     ext = os.path.splitext(path)[1].lower()

@@ -51,6 +51,14 @@ from ame_tpu.ops.scan_iir import biquad_scan, sosfilt_scan
 from ame_tpu.ops.stereo import stereo_width_quality
 
 
+def _coerce_settings(settings):
+    if settings is None:
+        return MasterSettings()
+    if isinstance(settings, MasterSettings):
+        return settings
+    return MasterSettings.from_dict(dict(settings))
+
+
 def _analog_sos(factor, sample_rate, dt):
     return jnp.stack([
         _rbj_shelf_coeffs_jnp(C.ANALOG_LOW_SHELF_HZ, sample_rate,
@@ -205,10 +213,7 @@ class StreamingMaster:
 
     def __init__(self, sample_rate: float, settings=None,
                  gain_db: float = 0.0):
-        if settings is None:
-            settings = MasterSettings()
-        elif not isinstance(settings, MasterSettings):
-            settings = MasterSettings.from_dict(dict(settings))
+        settings = _coerce_settings(settings)
         self.sample_rate = float(sample_rate)
         self.attack = max(int(C.LIMITER_ATTACK_MS * sample_rate / 1000.0), 1)
         self._structure = (settings.analog_character != 0,
@@ -310,10 +315,7 @@ class StreamingCompatMaster:
 
     def __init__(self, sample_rate: float, settings=None,
                  gain_db: float = 0.0):
-        if settings is None:
-            settings = MasterSettings()
-        elif not isinstance(settings, MasterSettings):
-            settings = MasterSettings.from_dict(dict(settings))
+        settings = _coerce_settings(settings)
         self.sample_rate = float(sample_rate)
         self.block_len = int(C.COMPAT_CHUNK_SECONDS * sample_rate)
         self.attack = max(int(C.LIMITER_ATTACK_MS * sample_rate / 1000.0), 1)
@@ -327,7 +329,8 @@ class StreamingCompatMaster:
             "pend": jnp.zeros((A - 1, 2), jnp.float32),
             "u_prev": jnp.zeros((), jnp.float32),
         }
-        self._buf = np.zeros((0, 2), np.float32)
+        self._chunks: list[np.ndarray] = []   # pending input, in order
+        self._buffered = 0
         self._first = True
         self._done = False
 
@@ -363,17 +366,32 @@ class StreamingCompatMaster:
                                          self.attack, phase)
         return np.asarray(out)
 
+    def _take(self, n: int) -> np.ndarray:
+        """Pop exactly n buffered samples (one concatenate per block
+        instead of one per pushed chunk)."""
+        parts, got = [], 0
+        while got < n:
+            c = self._chunks.pop(0)
+            take = min(n - got, c.shape[0])
+            parts.append(c[:take])
+            if take < c.shape[0]:
+                self._chunks.insert(0, c[take:])
+            got += take
+        self._buffered -= n
+        return np.concatenate(parts, axis=0)
+
     def process(self, chunk) -> np.ndarray:
         if self._done:
             raise RuntimeError("stream already flushed")
         x = np.asarray(chunk, np.float32)
         if x.ndim != 2 or x.shape[1] != 2:
             raise ValueError("chunk must be [n, 2]")
-        self._buf = np.concatenate([self._buf, x], axis=0)
+        if x.shape[0]:
+            self._chunks.append(x)
+            self._buffered += x.shape[0]
         outs = []
-        while self._buf.shape[0] >= self.block_len:
-            block, self._buf = (self._buf[:self.block_len],
-                                self._buf[self.block_len:])
+        while self._buffered >= self.block_len:
+            block = self._take(self.block_len)
             outs.append(self._emit(self._run_block(jnp.asarray(block))))
         if not outs:
             return np.zeros((0, 2), np.float32)
@@ -384,9 +402,8 @@ class StreamingCompatMaster:
             return np.zeros((0, 2), np.float32)
         self._done = True
         outs = []
-        if self._buf.shape[0]:
-            tail = self._run_block(jnp.asarray(self._buf))
-            self._buf = np.zeros((0, 2), np.float32)
+        if self._buffered:
+            tail = self._run_block(jnp.asarray(self._take(self._buffered)))
             if self._first and tail.shape[0] < 2 * self.attack - 1:
                 # a sub-lookahead-only stream: fall back to the offline
                 # limiter (no context to stream over)

@@ -300,3 +300,21 @@ def test_gain_engine_traceable_under_jit():
     s = MasterSettings(multiband=True, lufs=None, mode="compat")
     y, _ = master_graph_fused(x, 44100.0, s)
     assert np.isfinite(np.asarray(y)).all()
+
+
+@pytest.mark.parametrize("n", [32769, 65536, 65537, 131071, 131072 + 13])
+def test_jacobi_awkward_lengths(n):
+    """Lengths straddling the segment/tile padding boundaries must stay
+    exact (zero padding = below-threshold freeze, trimmed after)."""
+    from ame_tpu.ops import pydub_gain as pg
+
+    rng = np.random.default_rng(n)
+    m = np.zeros(n, np.float32)
+    m[100:n // 2] = 3 * np.abs(
+        rng.standard_normal(n // 2 - 100)).astype(np.float32)
+    got = pg.pydub_gain_multi([jnp.asarray(m)], 220.5, 2205.0,
+                              interpret=True)
+    ref = np.asarray(pg._gain_scan(
+        jnp.asarray(m)[:, None],
+        jnp.asarray([[1 / 220.5, 1 / 2205.0]], jnp.float32)))[:, 0]
+    np.testing.assert_allclose(np.asarray(got[0]), ref, atol=1e-6)

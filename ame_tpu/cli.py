@@ -106,6 +106,12 @@ def main(argv=None) -> int:
     pa = sub.add_parser("analyze", help="Musicologist technical brief")
     pa.add_argument("input")
 
+    pl = sub.add_parser(
+        "measure",
+        help="BS.1770 loudness report: integrated LUFS, LRA, true peak "
+             "(the on-device analog of ffmpeg loudnorm pass 1)")
+    pl.add_argument("input")
+
     ps = sub.add_parser("serve", help="HTTP mastering service")
     ps.add_argument("--host", default="127.0.0.1")
     ps.add_argument("--port", type=int, default=8080)
@@ -158,6 +164,17 @@ def main(argv=None) -> int:
     if args.cmd == "analyze":
         from ame_tpu.analysis.musicologist import analyze_song
         print(json.dumps(analyze_song(args.input)))
+        return 0
+
+    if args.cmd == "measure":
+        import jax.numpy as jnp
+        from ame_tpu.io import force_stereo, read_audio
+        from ame_tpu.ops.loudness import measure
+
+        audio, sr = read_audio(args.input)
+        stats = measure(jnp.asarray(force_stereo(audio)), sr)
+        print(json.dumps({k: round(float(v), 2)
+                          for k, v in stats.items()} | {"sample_rate": sr}))
         return 0
 
     if args.cmd == "serve":

@@ -78,3 +78,26 @@ def test_automaster_command(tmp_path, capsys):
     fitted = json.loads(lines[0])
     assert fitted["bass_boost"] > 0.5, fitted
     assert out.exists()
+
+
+def test_measure_command(tmp_path, capsys):
+    """CLI measure: BS.1770 stats for a known-level sine."""
+    import json
+    from ame_tpu.cli import main
+    from ame_tpu.io.wav import write_wav
+
+    sr = 48000
+    t = np.arange(sr * 3) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 997.0 * t)).astype(np.float32)
+    p = tmp_path / "tone.wav"
+    write_wav(str(p), np.stack([tone, tone], axis=1), sr)
+
+    assert main(["measure", str(p)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # stereo in-phase 997 Hz sine at 0.5 FS: I ~ -6 dBFS - 3.01 + ~0 dB
+    # K-weighting at 1 kHz ~= -6.0 LUFS... measured against the BS.1770
+    # anchors elsewhere; here assert the contract shape + sane ranges
+    assert set(out) >= {"input_i", "input_lra", "input_tp", "sample_rate"}
+    assert -8.0 < out["input_i"] < -4.0, out
+    assert out["input_lra"] < 1.0
+    assert abs(out["input_tp"] - 20 * np.log10(0.5)) < 0.2

@@ -332,3 +332,49 @@ def test_resolve_input_local_and_gs_fallback(tmp_path):
     # unknown local upload -> None; gs:// without a GCS backend -> None
     assert store.resolve_input("local://missing.wav") is None
     assert store.resolve_input("gs://bucket/uploads/x.wav") is None
+
+
+def test_gcs_backend_paths_with_stub(tmp_path):
+    """resolve_input gs:// fetch, upload-url delegation, and TTL GC bucket
+    deletion — exercised through a stub backend (the real GCSBlobBackend
+    is a thin wrapper over google-cloud-storage)."""
+    import os
+    from ame_tpu.serve.server import JobStore
+
+    class StubGCS:
+        def __init__(self):
+            self.objects = {}
+            self.deleted = []
+
+        def new_upload(self, filename):
+            uri = f"gs://bkt/uploads/{filename}"
+            self.objects[uri] = b"pcm"
+            return f"https://signed/{filename}", uri
+
+        def fetch_to(self, uri, dest):
+            if uri not in self.objects:
+                raise FileNotFoundError(uri)
+            with open(dest, "wb") as f:
+                f.write(self.objects[uri])
+            return True
+
+        def delete(self, uri):
+            self.deleted.append(uri)
+            self.objects.pop(uri, None)
+
+    store = JobStore(str(tmp_path), ttl_s=100.0)
+    store.gcs = StubGCS()
+
+    url, uri = store.new_upload("track.wav")
+    assert url.startswith("https://signed/") and uri.startswith("gs://")
+    local = store.resolve_input(uri)
+    assert local and os.path.exists(local)
+    assert store.resolve_input("gs://bkt/uploads/missing.wav") is None
+
+    now = time.time()
+    store.create_job("track_mastered.wav", {
+        "status": "done", "created": now - 1000,
+        "settings": {"input_file": local, "gcs_uri": uri}})
+    assert store.gc_expired(now=now) == 1
+    assert store.gcs.deleted == [uri]
+    assert not os.path.exists(local)

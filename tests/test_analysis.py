@@ -113,3 +113,28 @@ def test_frame_signal_slice_path_matches_naive():
         want = np.stack([yp[i * hop:i * hop + fl] for i in range(nf)])
         assert got.shape == want.shape
         assert np.array_equal(got, want)
+
+
+def test_analyze_batch_mixed_paths(tmp_path):
+    """Batched analysis: valid tracks get briefs, broken paths get error
+    dicts, order preserved."""
+    from ame_tpu.analysis.musicologist import analyze_batch, analyze_song
+    from ame_tpu.io.wav import write_wav
+
+    sr = 22050
+    t = np.arange(sr * 2) / sr
+    a = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    b = (0.2 * np.sin(2 * np.pi * 2000 * t)
+         + 0.1 * np.sin(2 * np.pi * 70 * t)).astype(np.float32)
+    pa, pb = tmp_path / "a.wav", tmp_path / "b.wav"
+    write_wav(str(pa), np.stack([a, a], 1), sr)
+    write_wav(str(pb), np.stack([b, b], 1), sr)
+
+    briefs = analyze_batch([str(pa), str(tmp_path / "missing.wav"),
+                            str(pb)])
+    assert len(briefs) == 3
+    assert "error" in briefs[1]
+    for i, p in ((0, pa), (2, pb)):
+        assert set(briefs[i]) == {"mood", "tempo", "brightness", "density"}
+        # batched result must agree with the single-track path
+        assert briefs[i] == analyze_song(str(p))

@@ -98,12 +98,18 @@ class MasteringApp(_Root if tk else object):
             ttk.Button(files, text="Browse...",
                        command=cmd).grid(row=r, column=2)
 
-        # presets
+        # presets + automaster
+        prow = ttk.Frame(outer)
+        prow.grid(row=row, column=0, sticky="ew", pady=4); row += 1
+        prow.grid_columnconfigure(0, weight=1)
         self.preset_var = tk.StringVar(value="None")
         preset_menu = ttk.OptionMenu(
-            outer, self.preset_var, "None", "None", *self._presets,
+            prow, self.preset_var, "None", "None", *self._presets,
             command=self._apply_preset)
-        preset_menu.grid(row=row, column=0, sticky="ew", pady=4); row += 1
+        preset_menu.grid(row=0, column=0, sticky="ew")
+        self.match_btn = ttk.Button(prow, text="Match Reference...",
+                                    command=self._match_reference)
+        self.match_btn.grid(row=0, column=1, padx=(8, 0))
 
         # sliders
         self.vars: dict[str, tk.DoubleVar] = {}
@@ -209,6 +215,61 @@ class MasteringApp(_Root if tk else object):
                 self.vars[key].set(value)
         self._on_status(f"Loaded '{name}' preset.")
 
+    def _match_reference(self):
+        """Fit EQ/width/character (and multiband when enabled) so the
+        input spectrally matches a chosen reference track
+        (models/automaster.py), then load the fitted values into the
+        sliders. Runs on a worker thread; results arrive via the event
+        queue like all other callbacks."""
+        if not self.input_var.get():
+            messagebox.showerror("Error", "Select an input file first.")
+            return
+        ref = filedialog.askopenfilename(
+            title="Reference track to match",
+            filetypes=[("Audio Files", "*.wav *.mp3 *.flac *.aiff"),
+                       ("All files", "*.*")])
+        if not ref:
+            return
+        self.match_btn.config(state=tk.DISABLED)
+        src = self.input_var.get()
+        fit_mb = self.multiband_var.get()
+        put = self._events.put
+
+        def work():
+            try:
+                import jax.numpy as jnp
+                from ame_tpu.io import force_stereo, read_audio
+                from ame_tpu.models.automaster import fit_settings
+                from ame_tpu.ops.resample import resample
+                put(("status", "Fitting settings to the reference..."))
+                x, sr_x = read_audio(src)
+                t, sr_t = read_audio(ref)
+                x, t = force_stereo(x), force_stereo(t)
+                if sr_t != sr_x:
+                    t = resample(jnp.asarray(t), sr_t, sr_x)
+                fitted = fit_settings(jnp.asarray(x), sr_x, jnp.asarray(t),
+                                      steps=120, optimize_multiband=fit_mb)
+                put(("fitted", fitted))
+                put(("status",
+                     f"Success: matched reference "
+                     f"(loss {fitted['loss']:.2f})."))
+            except Exception as e:  # pragma: no cover - UI error path
+                put(("fitted", None))
+                put(("status", f"Error: reference match failed: {e}"))
+
+        threading.Thread(target=work, daemon=True).start()
+
+    def _apply_fitted(self, fitted):
+        self.match_btn.config(state=tk.NORMAL)
+        if not fitted:
+            return
+        for key, var in self.vars.items():
+            if key in fitted:
+                var.set(round(float(fitted[key]), 2))
+        if fitted.get("multiband"):
+            self.multiband_var.set(True)
+            self._toggle_mb()
+
     def _toggle_mb(self):
         if self.multiband_var.get():
             self.mb_frame.grid()
@@ -265,6 +326,8 @@ class MasteringApp(_Root if tk else object):
                     self.tag_label.config(text=f"Studio Notes: {payload}")
                 elif kind == "art":
                     self._show_art(payload)
+                elif kind == "fitted":
+                    self._apply_fitted(payload)
         except queue.Empty:
             pass
         self.after(self.POLL_MS, self._drain_events)

@@ -116,6 +116,9 @@ def main(argv=None) -> int:
     ps.add_argument("--host", default="127.0.0.1")
     ps.add_argument("--port", type=int, default=8080)
     ps.add_argument("--workdir", default=None)
+    ps.add_argument("--workers", type=int, default=None,
+                    help="job worker pool size (default 2 or "
+                         "AME_TPU_SERVE_WORKERS)")
 
     sub.add_parser("gui", help="desktop GUI")
 
@@ -179,7 +182,8 @@ def main(argv=None) -> int:
 
     if args.cmd == "serve":
         from ame_tpu.serve.server import run_server
-        run_server(host=args.host, port=args.port, workdir=args.workdir)
+        run_server(host=args.host, port=args.port, workdir=args.workdir,
+                   workers=args.workers)
         return 0
 
     if args.cmd == "gui":

@@ -17,7 +17,6 @@ decoded from mood_cnn_label_encoder.joblib, SURVEY.md §0).
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import numpy as np
 import jax

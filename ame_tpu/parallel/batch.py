@@ -11,11 +11,10 @@ from __future__ import annotations
 from functools import partial
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ame_tpu import config as C
-from ame_tpu.ops import eq, quantize, saturate, stereo
+from ame_tpu.ops import eq, saturate, stereo
 from ame_tpu.graph import multiband as mb
 from ame_tpu.ops.limiter import lookahead_limiter
 from ame_tpu.ops.loudness import normalize_two_pass

@@ -92,10 +92,40 @@ def save_params(params, path: str | None = None) -> str:
     return path
 
 
+def _conv3x3_matmul(x, kernel, bias):
+    """3x3 SAME conv as nine shifted slices + ONE MXU matmul.
+
+    XLA's conv lowering on this TPU runtime costs ~13 ms for the whole
+    batch-1 CNN (165 MFLOPs — pathological); patch extraction by slicing
+    is free layout work and the contraction is a single well-shaped
+    matmul. Bit-compatible with flax's nn.Conv (cross-correlation, SAME
+    padding) up to f32 reassociation: patches channel index
+    (dy*3 + dx)*Cin + ci matches kernel.reshape(9*Cin, Cout) row order."""
+    B, H, W, Ci = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    cols = [xp[:, dy:dy + H, dx:dx + W, :]
+            for dy in range(3) for dx in range(3)]
+    patches = jnp.concatenate(cols, axis=-1)             # [B, H, W, 9*Ci]
+    wmat = kernel.reshape(9 * Ci, -1)
+    return jnp.einsum("bhwk,kc->bhwc", patches, wmat,
+                      precision=jax.lax.Precision.HIGHEST) + bias
+
+
 @jax.jit
 def predict_logits(params, batch):
-    """batch: [B, 128, 128, 3] -> [B, 4] logits."""
-    return MoodCNN().apply({"params": params}, batch)
+    """batch: [B, 128, 128, 3] -> [B, 4] logits. Inference re-expressed
+    as slice-im2col matmuls over the SAME checkpoint tree (training keeps
+    the flax module)."""
+    x = batch
+    for i in range(3):
+        layer = params[f"Conv_{i}"]
+        x = jax.nn.relu(_conv3x3_matmul(x, layer["kernel"], layer["bias"]))
+        B, H, W, C = x.shape
+        x = x.reshape(B, H // 2, 2, W // 2, 2, C).max(axis=(2, 4))
+    x = x.mean(axis=(1, 2))                              # GAP -> [B, 128]
+    x = jax.nn.relu(x @ params["Dense_0"]["kernel"]
+                    + params["Dense_0"]["bias"])
+    return x @ params["Dense_1"]["kernel"] + params["Dense_1"]["bias"]
 
 
 def predict_mood(params, image) -> str:

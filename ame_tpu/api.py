@@ -107,7 +107,7 @@ def master_file(input_file: str, output_file: str,
     log_memory_usage("After Graph")
 
     status_callback("Exporting master...")
-    write_audio(output_file, np.asarray(y), sr, bits=16)
+    write_audio(output_file, np.asarray(y), sr, bits=settings.bits)
     progress_callback(total_steps, total_steps)
     log_memory_usage("After Export")
 

@@ -43,6 +43,9 @@ def _add_master_args(p: argparse.ArgumentParser) -> None:
                    default="quality")
     p.add_argument("--compat-chunked", action="store_true",
                    help="emulate the reference's 30s chunk state resets")
+    p.add_argument("--bits", type=int, choices=[16, 24, 32], default=16,
+                   help="output bit depth (32 = float WAV; default 16 for "
+                        "reference parity)")
     p.add_argument("--mp3", action="store_true", help="also export MP3")
 
 
@@ -86,6 +89,7 @@ def _settings_from_args(args) -> dict:
         "high_thresh": args.high_thresh, "high_ratio": args.high_ratio,
         "mode": args.mode,
         "compat_chunked": args.compat_chunked,
+        "bits": args.bits,
         "create_mp3": args.mp3,
     }
     if args.preset:

@@ -80,6 +80,10 @@ class MasterSettings:
     compat_chunked: bool = False
 
     # -- sidecar / io -------------------------------------------------------
+    # Output bit depth: 16 (reference parity — engine:199,223 always exports
+    # 16-bit), 24 (PCM) or 32 (float). Quality mode's f32 chain can keep its
+    # full resolution on disk with 32.
+    bits: int = 16
     input_file: str | None = None
     output_file: str | None = None
     create_mp3: bool = True

@@ -98,6 +98,26 @@ def test_silent_input_passthrough(tmp_path):
     assert os.path.exists(p_out)
 
 
+@pytest.mark.parametrize("bits", [24, 32])
+def test_high_res_output(track, tmp_path, bits):
+    """--bits 24/32 keeps the quality chain's resolution on disk: the output
+    must round-trip with sub-16-bit error vs the float master."""
+    out16 = str(tmp_path / "o16.wav")
+    out_hi = str(tmp_path / f"o{bits}.wav")
+    ame_tpu.master_file(track, out16, {"lufs": -14.0, "bits": 16})
+    ame_tpu.master_file(track, out_hi, {"lufs": -14.0, "bits": bits})
+    y16, _ = W.read_wav(out16)
+    yhi, sr = W.read_wav(out_hi)
+    assert sr == SR and yhi.shape == y16.shape
+    # same master modulo quantization: the 16-bit path truncs toward zero at
+    # *32767 and decodes at /32768 (quirk Q5), so it differs from the hi-res
+    # file by at most (1+|x|)/32768; the hi-res file must carry real
+    # sub-16-bit detail (not just upscaled int16 values)
+    assert np.abs(yhi - y16).max() <= 2.01 / 32768.0
+    frac = yhi * 32767.0
+    assert np.abs(frac - np.round(frac)).max() > 1e-3
+
+
 def test_mono_input_forced_stereo(tmp_path):
     x = make_test_signal("tone", SR, SR, channels=1)
     p_in = str(tmp_path / "mono.wav")

@@ -36,6 +36,7 @@ progress bar; art rendering on done :360-380) with original markup.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import logging
 import os
@@ -114,6 +115,10 @@ class JobStore:
         self._jobs_path = os.path.join(workdir, "jobs.json")
         self.ttl_s = (float(os.environ.get("AME_TPU_SERVE_TTL_S", 86400))
                       if ttl_s is None else float(ttl_s))
+        # Upload ceiling (bytes). 2 GiB default ~= 3.3 h of 44.1k/16/stereo
+        # WAV — far past any single-track master, small enough to bound disk.
+        self.max_upload_bytes = int(float(os.environ.get(
+            "AME_TPU_SERVE_MAX_UPLOAD_MB", 2048)) * 1024 * 1024)
         self.gcs = None
         bucket = os.environ.get("AME_TPU_SERVE_GCS_BUCKET")
         if bucket:
@@ -367,16 +372,48 @@ class Handler(BaseHTTPRequestHandler):
         else:
             self._json(404, {"error": "not found"})
 
+    _UPLOAD_CHUNK = 1 << 20  # 1 MiB
+
     def do_PUT(self):
         path = urlparse(self.path).path
-        if path.startswith("/upload/"):
-            blob_id = path[len("/upload/"):]
-            data = self._read_body()
-            with open(self.store.upload_path(blob_id), "wb") as f:
-                f.write(data)
-            self._json(200, {"ok": True, "bytes": len(data)})
-        else:
+        if not path.startswith("/upload/"):
             self._json(404, {"error": "not found"})
+            return
+        blob_id = path[len("/upload/"):]
+        length = self.headers.get("Content-Length")
+        if length is None:
+            # BaseHTTPRequestHandler doesn't decode chunked bodies; the
+            # reference PUT contract (templates/index.html:263-268) always
+            # sends a sized body.
+            self._json(411, {"error": "Content-Length required"})
+            return
+        length = int(length)
+        cap = self.store.max_upload_bytes
+        if length > cap:
+            # drain nothing — signal before the client streams the body
+            self.close_connection = True
+            self._json(413, {"error": f"upload exceeds {cap} byte limit"})
+            return
+        # Stream to disk in 1 MiB chunks: constant memory for GB uploads.
+        dest = self.store.upload_path(blob_id)
+        written = 0
+        try:
+            with open(dest, "wb") as f:
+                while written < length:
+                    chunk = self.rfile.read(
+                        min(self._UPLOAD_CHUNK, length - written))
+                    if not chunk:
+                        raise ConnectionError("client closed mid-upload")
+                    f.write(chunk)
+                    written += len(chunk)
+        except (ConnectionError, OSError) as e:
+            with contextlib.suppress(OSError):
+                os.remove(dest)
+            self.close_connection = True
+            log.warning("upload %s aborted after %d bytes: %s",
+                        blob_id, written, e)
+            return
+        self._json(200, {"ok": True, "bytes": written})
 
     def do_GET(self):
         parsed = urlparse(self.path)

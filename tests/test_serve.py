@@ -69,6 +69,60 @@ def test_full_flow(server, tmp_path):
     assert blob[:4] == b"RIFF"
 
 
+def _rss_bytes():
+    with open("/proc/self/statm") as f:
+        return int(f.read().split()[1]) * 4096
+
+
+def test_large_upload_streams_to_disk(server):
+    """A 120 MB PUT must not be slurped into RAM: the handler streams 1 MiB
+    chunks to the blob file, so process RSS grows far less than the body."""
+    r = _post(server, "/generate-upload-url", {"filename": "big.bin"})
+    size = 120 * 1024 * 1024
+
+    class Body:
+        def __init__(self, n):
+            self.left = n
+            self.chunk = b"\x5a" * (1 << 20)
+
+        def read(self, n=-1):
+            if self.left <= 0:
+                return b""
+            take = min(len(self.chunk), self.left if n < 0 else n)
+            self.left -= take
+            return self.chunk[:take]
+
+    rss0 = _rss_bytes()
+    req = urllib.request.Request(server + r["url"], Body(size), method="PUT")
+    req.add_header("Content-Length", str(size))
+    resp = json.loads(urllib.request.urlopen(req).read())
+    rss1 = _rss_bytes()
+    assert resp == {"ok": True, "bytes": size}
+    # slurping would add >=120 MB on the server side (same process here)
+    assert rss1 - rss0 < 60 * 1024 * 1024
+
+
+def test_oversize_upload_rejected(tmp_path_factory):
+    workdir = str(tmp_path_factory.mktemp("serve_cap"))
+    srv, store = make_server(host="127.0.0.1", port=0, workdir=workdir)
+    store.max_upload_bytes = 1024
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        r = _post(base, "/generate-upload-url", {"filename": "big.bin"})
+        req = urllib.request.Request(base + r["url"], b"x" * 4096,
+                                     method="PUT")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 413
+        # nothing written for the rejected blob
+        import os
+        blob = r["url"].rsplit("/", 1)[-1]
+        assert not os.path.exists(store.upload_path(blob))
+    finally:
+        srv.shutdown()
+
+
 def test_status_unknown_job(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(server, "/status?audio_filename=bogus.wav")

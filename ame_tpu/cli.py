@@ -112,9 +112,15 @@ def main(argv=None) -> int:
 
     pl = sub.add_parser(
         "measure",
-        help="BS.1770 loudness report: integrated LUFS, LRA, true peak "
-             "(the on-device analog of ffmpeg loudnorm pass 1)")
+        help="BS.1770 loudness report: the full loudnorm pass-1 JSON "
+             "analog (input_*/output_* stats incl. input_thresh and "
+             "target_offset)")
     pl.add_argument("input")
+    pl.add_argument("--lufs", type=float, default=-14.0,
+                    help="pass-1 target I (drives the output_* stats)")
+    pl.add_argument("--input-only", action="store_true",
+                    help="skip the dynamic-normalizer simulation; report "
+                         "only the input-side stats")
 
     ps = sub.add_parser("serve", help="HTTP mastering service")
     ps.add_argument("--host", default="127.0.0.1")
@@ -176,12 +182,19 @@ def main(argv=None) -> int:
     if args.cmd == "measure":
         import jax.numpy as jnp
         from ame_tpu.io import force_stereo, read_audio
-        from ame_tpu.ops.loudness import measure
 
         audio, sr = read_audio(args.input)
-        stats = measure(jnp.asarray(force_stereo(audio)), sr)
-        print(json.dumps({k: round(float(v), 2)
-                          for k, v in stats.items()} | {"sample_rate": sr}))
+        x = jnp.asarray(force_stereo(audio))
+        if args.input_only:
+            from ame_tpu.ops.loudness import measure
+            stats = measure(x, sr)
+        else:
+            from ame_tpu.ops.loudnorm import loudnorm_pass1
+            stats = loudnorm_pass1(x, sr, target_i=args.lufs)
+            stats["normalization_type"] = "dynamic"
+        out = {k: (round(float(v), 2) if not isinstance(v, str) else v)
+               for k, v in stats.items()}
+        print(json.dumps(out | {"sample_rate": sr}))
         return 0
 
     if args.cmd == "serve":

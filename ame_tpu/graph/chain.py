@@ -90,13 +90,20 @@ def _stage_multiband_compat(x, threshs, ratios, sample_rate, exact,
 
 @partial(jax.jit, static_argnums=(3, 4))
 def _stage_normalize(x, target, n_valid, sample_rate, requantize):
-    # compat (requantize=True) mirrors ffmpeg loudnorm pass-2's linear-mode
-    # eligibility gates (TP headroom + LRA <= 11); quality applies the
-    # clean unconditional gain and lets the limiter govern the ceiling
-    y, info = normalize_two_pass(x, sample_rate, target, n_valid=n_valid,
-                                 ffmpeg_gates=requantize)
+    # compat (requantize=True) runs the FAITHFUL ffmpeg two-pass flow
+    # (engine:227-246): pass-1 measurement + dynamic sim for target_offset,
+    # then the gated linear gain (offset + I - input_i) or the
+    # frame-adaptive dynamic engine (ops/loudnorm.py). Quality applies the
+    # clean unconditional gain and lets the limiter govern the ceiling.
     if requantize:
+        from ame_tpu.ops.loudnorm import loudnorm_two_pass
+        y, info = loudnorm_two_pass(x, sample_rate, target,
+                                    C.LOUDNORM_TP_DB, C.LOUDNORM_LRA,
+                                    n_valid=n_valid)
         y = quantize.int16_roundtrip(y)  # ffmpeg pass-2 writes pcm_s16le
+    else:
+        y, info = normalize_two_pass(x, sample_rate, target,
+                                     n_valid=n_valid)
     return y, info
 
 

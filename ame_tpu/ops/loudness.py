@@ -89,7 +89,8 @@ def _measure_jit(x, sample_rate, n_valid=None):
     any_abs = jnp.any(abs_mask)
     mean_abs = jnp.sum(jnp.where(abs_mask, p_m, 0.0)) / jnp.maximum(
         jnp.sum(abs_mask), 1)
-    rel_thresh = _power_to_lufs(mean_abs) - 10.0
+    rel_thresh = jnp.where(any_abs, _power_to_lufs(mean_abs) - 10.0,
+                           -70.0)  # ffmpeg prints -70.00 for silence
     gate = abs_mask & (l_m > rel_thresh)
     any_gate = jnp.any(gate)
     mean_gated = jnp.sum(jnp.where(gate, p_m, 0.0)) / jnp.maximum(
@@ -99,6 +100,7 @@ def _measure_jit(x, sample_rate, n_valid=None):
                            -jnp.inf)
 
     # LRA: 3 s short-term, 100 ms hop, -20 LU relative gate, P10..P95
+    # with linear interpolation between order statistics (EBU Tech 3342)
     p_s, v_s = _gating_block_powers(y, sample_rate, 3.000, 0.100, n_valid)
     if p_s.shape[0] == 0:
         lra = jnp.asarray(0.0, x.dtype)
@@ -110,15 +112,19 @@ def _measure_jit(x, sample_rate, n_valid=None):
         rel_s = _power_to_lufs(mean_s) - 20.0
         gate_s = abs_s & (l_s > rel_s)
         n_g = jnp.sum(gate_s)
-        # gated percentiles via sort + masked indexing
+        # gated interpolated percentiles via sort + masked indexing
         l_sorted = jnp.sort(jnp.where(gate_s, l_s, jnp.inf))
-        i10 = jnp.clip((0.10 * (n_g - 1)).astype(jnp.int32), 0, None)
-        i95 = jnp.clip((0.95 * (n_g - 1)).astype(jnp.int32), 0, None)
-        lo = l_sorted[i10]
-        hi = l_sorted[i95]
-        lra = jnp.where(n_g > 0, hi - lo, 0.0)
 
-    return integrated, lra
+        def _pct(q):
+            pos = q * (n_g - 1).astype(l_sorted.dtype)
+            i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, None)
+            i1 = jnp.minimum(i0 + 1, jnp.maximum(n_g - 1, 0))
+            frac = pos - i0.astype(l_sorted.dtype)
+            return l_sorted[i0] * (1.0 - frac) + l_sorted[i1] * frac
+
+        lra = jnp.where(n_g > 0, _pct(0.95) - _pct(0.10), 0.0)
+
+    return integrated, lra, rel_thresh
 
 
 # ---------------------------------------------------------------------------
@@ -214,13 +220,21 @@ def integrated_lufs(x: jax.Array, sample_rate: float,
 
 
 def measure(x: jax.Array, sample_rate: float, n_valid=None) -> dict:
-    """Full pass-1 measurement (the on-device analog of the reference's
-    loudnorm print_format=json scrape, engine:229-237)."""
+    """Input-side loudnorm measurement: integrated loudness, LRA, 4x true
+    peak, and the integrated measurement's relative gating threshold
+    (``input_thresh`` of the loudnorm JSON block, engine:229-237).
+
+    The full pass-1 analog — including the output-side stats and
+    ``target_offset``, which require running the dynamic normalizer — is
+    ``ops.loudnorm.loudnorm_pass1``.
+    """
     if x.ndim == 1:
         x = x[:, None]
-    integrated, lra = _measure_jit(x, float(sample_rate), n_valid)
+    integrated, lra, rel_thresh = _measure_jit(x, float(sample_rate),
+                                               n_valid)
     tp = true_peak_db(x)
-    return {"input_i": integrated, "input_lra": lra, "input_tp": tp}
+    return {"input_i": integrated, "input_lra": lra, "input_tp": tp,
+            "input_thresh": rel_thresh}
 
 
 # ---------------------------------------------------------------------------
@@ -232,48 +246,27 @@ def normalize_two_pass(x: jax.Array, sample_rate: float,
                        target_tp_db: float = -1.5,
                        target_lra: float = 11.0,
                        protect_tp: bool = False,
-                       ffmpeg_gates: bool = False,
                        n_valid=None):
-    """Measure, then apply one linear gain to reach ``target_lufs``.
+    """Measure, then apply one linear gain to reach ``target_lufs`` — the
+    quality chain's clean normalizer. Silent input (measured -inf) passes
+    through unchanged (quirk Q9). ``protect_tp`` caps the gain to the
+    true-peak headroom.
 
-    Mirrors the reference path (engine:227-246): silent input (measured
-    -inf) passes through unchanged (quirk Q9).
+    The faithful ffmpeg pass-2 semantics — linear-mode eligibility gates,
+    the ``offset`` term, and the frame-adaptive DYNAMIC fallback — live in
+    ``ops.loudnorm`` (``loudnorm_two_pass``); the compat graph uses that.
 
-    ``ffmpeg_gates`` mirrors loudnorm pass-2's documented linear-mode
-    eligibility (the reference's pass 2 runs with measured_* values and
-    ``linear`` defaulting on, engine:240-241): linear scaling applies ONLY
-    when (a) measured_tp + offset <= target_tp — the gain would not push
-    the true peak past the ceiling — and (b) measured LRA <= target LRA.
-    Otherwise ffmpeg reverts to its dynamic (frame-adaptive) mode. The
-    rebuild substitutes a documented stand-in for dynamic mode: the same
-    single gain capped to the true-peak headroom (keeps the ceiling legal
-    and gets integrated loudness as close as one gain can; ffmpeg's
-    time-varying gain trajectory is NOT replicated — see
-    tests/test_loudness.py for the scoped parity claims).
-
-    ``protect_tp`` alone caps the gain to true-peak headroom
-    unconditionally (quality-mode option).
-
-    Returns (y, info dict of traced scalars; ``linear_mode`` is 1.0 when
-    the unconditioned linear gain was applied).
+    Returns (y, info dict of traced scalars).
     """
     if x.ndim == 1:
         x = x[:, None]
     stats = measure(x, sample_rate, n_valid)
     offset = jnp.asarray(target_lufs, x.dtype) - stats["input_i"]
     headroom = jnp.asarray(target_tp_db, x.dtype) - stats["input_tp"]
-    gain_db = offset
-    linear_ok = jnp.ones((), bool)
-    if ffmpeg_gates:
-        offset_tp = stats["input_tp"] + offset
-        linear_ok = ((offset_tp <= target_tp_db) &
-                     (stats["input_lra"] <= target_lra))
-        gain_db = jnp.where(linear_ok, offset, jnp.minimum(offset, headroom))
-    elif protect_tp:
-        gain_db = jnp.minimum(offset, headroom)
+    gain_db = jnp.minimum(offset, headroom) if protect_tp else offset
     silent = ~jnp.isfinite(stats["input_i"])
     gain_db = jnp.where(silent, 0.0, gain_db)
     y = x * 10.0 ** (gain_db / 20.0)
     return y, {**stats, "gain_db": gain_db,
                "output_i": stats["input_i"] + gain_db,
-               "linear_mode": linear_ok.astype(x.dtype)}
+               "linear_mode": jnp.ones((), x.dtype)}

@@ -1,0 +1,399 @@
+"""ffmpeg ``loudnorm`` two-pass semantics on device — including DYNAMIC mode.
+
+The reference normalizes by shelling out to ffmpeg twice
+(audio_mastering_engine.py:229-241): pass 1 measures and prints the JSON
+stats block (``input_i .. target_offset``), pass 2 re-runs loudnorm with the
+``measured_*`` values and ``offset=target_offset``. ffmpeg then applies ONE
+linear gain when the measured values pass the linear-mode eligibility gates,
+and otherwise falls back to its frame-adaptive DYNAMIC mode.
+
+This module is a structural transcription of the published loudnorm
+algorithm (FFmpeg ``af_loudnorm``, K. Swanson's EBU R128 normalizer) built
+TPU-first — all heavy measurement is parallel framed matmul/reduction work,
+and only the genuinely sequential gain controller runs as a ``lax.scan``:
+
+* 100 ms frames; a ring of 30 per-frame gain deltas (3 s of context).
+* per-frame delta = 10^((env_global + env_shortterm)/20) where
+  env_shortterm = target_I − shortterm(3 s) and env_global is the
+  deviation of the frame's short-term loudness from the running gated
+  integrated loudness, clamped to ±target_LRA/2 — so frames within
+  target_LRA of the program average ride ONE track gain
+  (delta ≈ target_I − integrated: dynamics preserved) while excursions
+  beyond it are compressed; frames whose short-term loudness is below
+  ``measured_thresh`` HOLD the previous delta; a quiet-start state creeps
+  the gain up by ×1.0058/frame until the output reaches target.
+* the applied gain is the 21-tap σ=3.5 gaussian of the delta ring centered
+  10 frames (1 s) ahead, linearly interpolated across each frame's samples.
+* the running integrated loudness is tracked ebur128-style with a 0.1 LU
+  histogram of gated 400 ms blocks (one new block per 100 ms hop), so the
+  value and its relative threshold are recomputed exactly each frame.
+* a per-frame true-peak ceiling holds the output at ``target_tp``.
+* the printed output-side stats (output_i/output_tp/output_lra/
+  output_thresh — ffmpeg's r128_out) are measured on the actual produced
+  output.
+
+Documented deviations from ffmpeg (each bounded, none affecting the
+two-pass contract the reference exercises):
+  * ffmpeg upsamples to 192 kHz in dynamic mode (its output sample rate
+    changes!); this engine stays at the native rate and caps per-frame
+    peaks instead of running the 192 kHz sample-domain limiter.
+  * the quiet-start check commutes the slowly-varying gain through the
+    K-filter when estimating the output's short-term loudness.
+  * linear-mode gain includes the ``offset`` option
+  (``offset + target_I − measured_I`` — ffmpeg's documented pass-2 use).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ame_tpu.dsp import design
+from ame_tpu.ops.scan_iir import sosfilt_scan
+from ame_tpu.ops.loudness import (_power_to_lufs, measure, true_peak_db)
+
+# ---------------------------------------------------------------------------
+# Controller constants (the published loudnorm design)
+# ---------------------------------------------------------------------------
+
+FRAME_S = 0.100          # 100 ms frames
+RING = 30                # 3 s delta ring
+GAUSS_TAPS = 21          # gaussian smoothing window
+GAUSS_SIGMA = 3.5
+GAIN_LOOKAHEAD = 10      # window center: 1 s ahead of the output frame
+GROW_FACTOR = 1.0058     # quiet-start gain creep per frame
+
+# ebur128-style histogram of output gating blocks: 0.1 LU bins, [-70, +5)
+_HIST_LO = -70.0
+_HIST_HI = 5.0
+_HIST_STEP = 0.1
+_NBINS = int(round((_HIST_HI - _HIST_LO) / _HIST_STEP))  # 750
+
+
+def _gauss_weights() -> np.ndarray:
+    x = np.arange(GAUSS_TAPS) - GAUSS_TAPS // 2
+    w = np.exp(-(x ** 2) / (2.0 * GAUSS_SIGMA ** 2))
+    return (w / w.sum()).astype(np.float32)
+
+
+def _hist_centers() -> np.ndarray:
+    return (_HIST_LO + (np.arange(_NBINS) + 0.5) * _HIST_STEP).astype(
+        np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-mode engine
+# ---------------------------------------------------------------------------
+
+def _integrated_from_hist(hist, bin_lufs, bin_power):
+    """BS.1770 gated integrated loudness from a block-loudness histogram
+    (absolute gate is the histogram floor; relative gate recomputed)."""
+    cnt = jnp.sum(hist)
+    mean_p = jnp.sum(hist * bin_power) / jnp.maximum(cnt, 1.0)
+    rel = _power_to_lufs(mean_p) - 10.0
+    m = jnp.where(bin_lufs > rel, hist, 0.0)
+    gcnt = jnp.sum(m)
+    gp = jnp.sum(m * bin_power) / jnp.maximum(gcnt, 1.0)
+    glob = jnp.where((cnt > 0) & (gcnt > 0), _power_to_lufs(gp),
+                     jnp.float32(-1e9))
+    return glob, rel
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _dynamic_jit(x, sample_rate, target_i, target_tp, target_lra,
+                 measured_i, measured_thresh, n_valid=None):
+    """Frame-adaptive normalization of [N, C] audio. Returns
+    (y, output_i, output_thresh) with y the same length as x."""
+    from ame_tpu.ops.loudness import _measure_jit
+    n, c = x.shape
+    L = int(round(FRAME_S * sample_rate))
+    F = -(-n // L)
+    pad = F * L - n
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+
+    # ---- parallel precomputation ----------------------------------------
+    sos = design.k_weighting_sos(sample_rate)
+    xk, _ = sosfilt_scan(sos, xp)
+    sq = jnp.sum(xk * xk, axis=1).reshape(F, L)           # [F, L]
+    t_rel = (jnp.arange(L, dtype=x.dtype) / L)
+    M0 = jnp.sum(sq, axis=1)                              # Σ xk²
+    M1 = jnp.sum(sq * t_rel, axis=1)                      # Σ (n/L)·xk²
+    M2 = jnp.sum(sq * t_rel * t_rel, axis=1)              # Σ (n/L)²·xk²
+    # short-term input loudness: trailing 3 s (30 hops) per frame
+    cs = jnp.concatenate([jnp.zeros((1,), x.dtype), jnp.cumsum(M0)])
+    st_sum = cs[RING:] - cs[:-RING]                       # [F-29]
+    st_in = jnp.concatenate([
+        jnp.full((RING - 1,), -1e9, x.dtype),
+        _power_to_lufs(st_sum / (RING * L))])             # [F]
+    peak = jnp.max(jnp.abs(xp).reshape(F, L * c), axis=1)  # frame sample peak
+
+    # input-side gating blocks (400 ms, one per hop): block ending at f
+    blk_sum = cs[4:] - cs[:-4]                            # [F-3]
+    blk_lufs = jnp.concatenate([
+        jnp.full((3,), -1e9, x.dtype),
+        _power_to_lufs(blk_sum / (4 * L))])               # [F]
+    # bucket-padding handling: blocks past the true track end never enter
+    # the histogram (the padding is zeros anyway, but an explicit mask also
+    # drops the partial boundary block, matching an unpadded measurement)
+    if n_valid is None:
+        blk_valid = jnp.ones((F,), bool)
+    else:
+        blk_valid = (jnp.arange(F) + 1) * L <= n_valid
+
+    # the controller consumes the input-side values 30 frames ahead of the
+    # output frame it is gating (the 3 s lookahead buffer)
+    ahead = jnp.minimum(jnp.arange(F) + RING, F - 1)
+    st_ahead = st_in[ahead]
+    blk_idx_all = jnp.clip(((blk_lufs - _HIST_LO) / _HIST_STEP).astype(
+        jnp.int32), 0, _NBINS - 1)
+    blk_add_all = jnp.where((blk_lufs > -70.0) & blk_valid, 1.0, 0.0)
+    # blocks ending at frames 0..29 are known before the first output frame
+    hist0 = jnp.sum(
+        jnp.where((jnp.arange(F) < RING)[:, None],
+                  blk_add_all[:, None]
+                  * (blk_idx_all[:, None] == jnp.arange(_NBINS)[None, :]),
+                  0.0), axis=0)
+
+    w = jnp.asarray(_gauss_weights(), x.dtype)
+    bin_lufs = jnp.asarray(_hist_centers(), x.dtype)
+    bin_power = 10.0 ** ((bin_lufs + 0.691) / 10.0)
+    ceil_lin = 10.0 ** (target_tp / 20.0)
+
+    # ---- FIRST_FRAME init ------------------------------------------------
+    st0 = st_in[RING - 1]
+    quiet_start = st0 < measured_thresh
+    env0 = jnp.where(st0 <= -70.0, 0.0,
+                     jnp.where(quiet_start, target_i - measured_i,
+                               target_i - st0))
+    delta0 = 10.0 ** (env0 / 20.0)
+    carry0 = dict(
+        d=jnp.full((RING,), delta0, x.dtype),
+        prev_delta=delta0,
+        above=jnp.where(quiet_start, 0.0, 1.0).astype(x.dtype),
+        hist=hist0.astype(x.dtype),
+        st30=jnp.zeros((RING,), x.dtype),
+    )
+
+    def step(carry, xs):
+        st_g, blk_i, blk_a, m0, m1, m2, pk = xs
+        d, prev_delta, above = carry["d"], carry["prev_delta"], carry["above"]
+        hist, st30 = carry["hist"], carry["st30"]
+
+        glob_in, _ = _integrated_from_hist(hist, bin_lufs, bin_power)
+        st_out = _power_to_lufs(jnp.mean(st30))
+
+        # quiet-start creep until the output reaches target
+        startup = above == 0.0
+        prev_delta = jnp.where(startup & (st_g > measured_thresh),
+                               prev_delta * GROW_FACTOR, prev_delta)
+        above = jnp.where(startup & (st_out >= target_i), 1.0, above)
+
+        # delta for the input frame arriving now (3 s ahead of output):
+        # frames within ±target_lra/2 of the running integrated loudness
+        # ride the single track gain target_i − glob_in; larger excursions
+        # are compressed
+        hold = st_g < measured_thresh
+        env_g = jnp.clip(st_g - glob_in, -target_lra / 2.0,
+                         target_lra / 2.0)
+        delta_new = jnp.where(
+            hold, prev_delta,
+            10.0 ** ((env_g + target_i - st_g) / 20.0))
+        prev_delta = jnp.where(hold, prev_delta, delta_new)
+
+        # smoothed gain for the output frame: gaussian over deltas
+        # [f .. f+20], centered 1 s ahead; next-frame gain for interpolation
+        gain = jnp.dot(w, d[:GAUSS_TAPS])
+        gain_next = jnp.dot(w, d[1:GAUSS_TAPS + 1])
+
+        # per-frame true-peak ceiling (ffmpeg: 192 kHz sample-domain limiter)
+        cap = jnp.minimum(
+            1.0, ceil_lin / jnp.maximum(pk * jnp.maximum(gain, gain_next),
+                                        1e-9))
+        g0 = gain * cap
+        g1 = gain_next * cap
+
+        # output short-term tracking for the quiet-start check (gain
+        # commuted through the K-filter; exact via the hop moments)
+        dg = g1 - g0
+        hop_p = (g0 * g0 * m0 + 2.0 * g0 * dg * m1 + dg * dg * m2) / L
+        st30 = jnp.concatenate([st30[1:], hop_p[None]])
+
+        # the input block arriving 3 s ahead enters the histogram
+        hist = hist + blk_a * (jnp.arange(_NBINS) == blk_i)
+        d = jnp.concatenate([d[1:], delta_new[None]])
+
+        new_carry = dict(d=d, prev_delta=prev_delta, above=above,
+                         hist=hist, st30=st30)
+        return new_carry, (g0, g1)
+
+    # past the clamp point the same final block would re-enter every step;
+    # gate it so each block is counted once
+    blk_add_ahead = jnp.where(jnp.arange(F) + RING <= F - 1,
+                              blk_add_all[ahead], 0.0)
+    xs = (st_ahead, blk_idx_all[ahead], blk_add_ahead,
+          M0, M1, M2, peak)
+    carry, (g0, g1) = lax.scan(step, carry0, xs, unroll=4)
+
+    # apply the per-frame interpolated gains (parallel)
+    gain_samples = (g0[:, None] + (g1 - g0)[:, None] * t_rel[None, :])
+    y = (xp.reshape(F, L, c) * gain_samples[:, :, None]).reshape(F * L, c)
+    y = y[:n]
+
+    # output-side stats, measured on the actual output (ffmpeg's r128_out)
+    output_i, _, output_thresh = _measure_jit(y, sample_rate, n_valid)
+    return y, output_i, output_thresh
+
+
+def dynamic_loudnorm(x: jax.Array, sample_rate: float,
+                     target_i: float = -24.0, target_tp: float = -2.0,
+                     target_lra: float = 7.0,
+                     measured_i=0.0, measured_thresh=-70.0, n_valid=None):
+    """Frame-adaptive (dynamic-mode) loudness normalization.
+
+    Returns (y, {"output_i", "output_thresh"}). ``measured_i`` /
+    ``measured_thresh`` carry pass-1 values in a two-pass flow; their
+    defaults are ffmpeg's unmeasured option defaults.
+    """
+    if x.ndim == 1:
+        x = x[:, None]
+    L = int(round(FRAME_S * sample_rate))
+    if x.shape[0] < (RING + 1) * L:
+        # < 3.1 s cannot fill the controller's integrator: single gain
+        # capped to the true-peak ceiling (ffmpeg pads/flushes tiny inputs
+        # through the same startup path; behavioral stand-in)
+        stats = measure(x, sample_rate, n_valid)
+        gain_db = jnp.minimum(jnp.asarray(target_i, x.dtype)
+                              - stats["input_i"],
+                              jnp.asarray(target_tp, x.dtype)
+                              - stats["input_tp"])
+        gain_db = jnp.where(jnp.isfinite(stats["input_i"]), gain_db, 0.0)
+        y = x * 10.0 ** (gain_db / 20.0)
+        return y, {"output_i": stats["input_i"] + gain_db,
+                   "output_thresh": stats["input_thresh"] + gain_db}
+    y, oi, oth = _dynamic_jit(
+        x, float(sample_rate), jnp.asarray(target_i, x.dtype),
+        jnp.asarray(target_tp, x.dtype), jnp.asarray(target_lra, x.dtype),
+        jnp.asarray(measured_i, x.dtype),
+        jnp.asarray(measured_thresh, x.dtype), n_valid)
+    return y, {"output_i": oi, "output_thresh": oth}
+
+
+# ---------------------------------------------------------------------------
+# Pass 1: the JSON stats block
+# ---------------------------------------------------------------------------
+
+def loudnorm_pass1(x: jax.Array, sample_rate: float,
+                   target_i: float = -14.0, target_tp: float = -1.5,
+                   target_lra: float = 11.0, n_valid=None,
+                   full: bool = True) -> dict:
+    """The on-device analog of loudnorm ``print_format=json``
+    (engine:229-237): measures the input AND runs the dynamic normalizer to
+    produce the output-side stats, exactly as ffmpeg's pass 1 does.
+
+    Returns input_i/input_tp/input_lra/input_thresh,
+    output_i/output_thresh (+ output_tp/output_lra when ``full``),
+    target_offset = target_i − output_i, and normalization_type.
+    """
+    if x.ndim == 1:
+        x = x[:, None]
+    stats = measure(x, sample_rate, n_valid)
+    y, out = dynamic_loudnorm(x, sample_rate, target_i, target_tp,
+                              target_lra, n_valid=n_valid)
+    stats["output_i"] = out["output_i"]
+    stats["output_thresh"] = out["output_thresh"]
+    stats["target_offset"] = jnp.asarray(target_i, x.dtype) - out["output_i"]
+    if full:
+        out_stats = measure(y, sample_rate, n_valid)
+        stats["output_tp"] = out_stats["input_tp"]
+        stats["output_lra"] = out_stats["input_lra"]
+    # silent input: ffmpeg prints -inf / 0 rows; the reference keys off
+    # input_i == -inf (quirk Q9) before ever reaching pass 2
+    return stats
+
+
+# ---------------------------------------------------------------------------
+# Pass 2 (one ffmpeg invocation with measured_* values)
+# ---------------------------------------------------------------------------
+
+def loudnorm(x: jax.Array, sample_rate: float,
+             target_i: float = -24.0, target_tp: float = -2.0,
+             target_lra: float = 7.0, measured: dict | None = None,
+             offset=0.0, linear: bool = True, n_valid=None):
+    """One loudnorm invocation. With ``measured`` pass-1 stats and
+    ``linear=True``, applies the single linear gain
+    ``offset + target_i − measured_i`` when ALL eligibility gates hold:
+
+      measured_tp != 99, measured_thresh != -70, measured_lra != 0,
+      measured_i != 0 (values were actually supplied), AND
+      measured_tp + gain <= target_tp (the gain keeps the true peak
+      legal), AND measured_lra <= target_lra.
+
+    Otherwise (or with no measured values) runs the dynamic engine.
+    Returns (y, info) with ``linear_mode`` 1.0/0.0 and ``gain_db`` (the
+    linear gain; NaN-free 0.0 when dynamic ran).
+    """
+    if x.ndim == 1:
+        x = x[:, None]
+    ti = jnp.asarray(target_i, x.dtype)
+    if measured is None:
+        y, out = dynamic_loudnorm(x, sample_rate, target_i, target_tp,
+                                  target_lra)
+        return y, {"linear_mode": jnp.zeros((), x.dtype),
+                   "gain_db": jnp.zeros((), x.dtype), **out}
+
+    m_i = jnp.asarray(measured["input_i"], x.dtype)
+    m_tp = jnp.asarray(measured["input_tp"], x.dtype)
+    m_lra = jnp.asarray(measured["input_lra"], x.dtype)
+    m_th = jnp.asarray(measured["input_thresh"], x.dtype)
+    off = jnp.asarray(offset, x.dtype)
+
+    gain_db = off + ti - m_i
+    offset_tp = m_tp + gain_db
+    supplied = ((m_tp != 99.0) & (m_th != -70.0) & (m_lra != 0.0)
+                & (m_i != 0.0))
+    lin_ok = (supplied & (offset_tp <= target_tp)
+              & (m_lra <= target_lra)) if linear else jnp.zeros((), bool)
+
+    def _linear(x):
+        y = x * 10.0 ** (gain_db / 20.0)
+        return y, m_i + gain_db, m_th + gain_db
+
+    def _dyn_branch(x):
+        y, out = dynamic_loudnorm(x, sample_rate, target_i, target_tp,
+                                  target_lra, m_i, m_th, n_valid=n_valid)
+        return y, out["output_i"], out["output_thresh"]
+
+    y, out_i, out_th = lax.cond(lin_ok, _linear, _dyn_branch, x)
+    return y, {"linear_mode": lin_ok.astype(x.dtype),
+               "gain_db": jnp.where(lin_ok, gain_db, 0.0),
+               "output_i": out_i, "output_thresh": out_th}
+
+
+# ---------------------------------------------------------------------------
+# The reference's full two-pass flow
+# ---------------------------------------------------------------------------
+
+def loudnorm_two_pass(x: jax.Array, sample_rate: float,
+                      target_i: float = -14.0, target_tp: float = -1.5,
+                      target_lra: float = 11.0, n_valid=None):
+    """normalize_loudness_on_disk_with_ffmpeg, on device
+    (engine:227-246): pass 1 measures + derives ``target_offset`` from the
+    dynamic run; silent input (input_i = −inf) passes through unchanged
+    (quirk Q9); pass 2 runs with the measured values and the offset.
+    """
+    if x.ndim == 1:
+        x = x[:, None]
+    stats = loudnorm_pass1(x, sample_rate, target_i, target_tp, target_lra,
+                           n_valid=n_valid, full=False)
+    silent = ~jnp.isfinite(stats["input_i"])
+    y, info = loudnorm(x, sample_rate, target_i, target_tp, target_lra,
+                       measured=stats, offset=stats["target_offset"],
+                       n_valid=n_valid)
+    y = jnp.where(silent, x, y)
+    info = dict(info)
+    info["gain_db"] = jnp.where(silent, 0.0, info["gain_db"])
+    return y, {**stats, **info}

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from ame_tpu import config as C
 from ame_tpu.ops import eq, quantize, saturate, stereo
 from ame_tpu.graph import multiband as mb
-from ame_tpu.ops.limiter import lookahead_limiter
+from ame_tpu.ops.limiter import alimiter_compat, lookahead_limiter
 from ame_tpu.ops.loudness import normalize_two_pass
 
 
@@ -154,9 +154,11 @@ def _master_compat(x, sample_rate, p, *, analog_on, width_on, multiband_on,
         x, loud_info = _stage_normalize(x, p["lufs"], n_valid, sample_rate,
                                         True)
         info.update(loud_info)
-    # engine:223 — alimiter, always (quirk Q8)
-    x = lookahead_limiter(x, sample_rate, C.LIMITER_CEILING,
-                          C.LIMITER_ATTACK_MS, C.LIMITER_RELEASE_MS)
+    # engine:223 — alimiter, always (quirk Q8), with ffmpeg-contract ramps
+    # and the default auto-level 1/limit output normalization (reference
+    # masters peak at ~1.0, not 0.98)
+    x = alimiter_compat(x, sample_rate, C.LIMITER_CEILING,
+                        C.LIMITER_ATTACK_MS, C.LIMITER_RELEASE_MS)
     return x, info
 
 

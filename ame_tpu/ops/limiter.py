@@ -56,3 +56,160 @@ def lookahead_limiter(x: jax.Array, sample_rate: float,
                            jnp.asarray(ceiling, x.dtype),
                            jnp.asarray(release_decay, x.dtype))
     return (y, gain) if return_gain else y
+
+
+# ---------------------------------------------------------------------------
+# ffmpeg-contract alimiter (compat engine)
+# ---------------------------------------------------------------------------
+#
+# ffmpeg's alimiter plans LINEAR gain ramps: descent reaching limit/peak
+# exactly when each peak exits the `attack` lookahead buffer, ascent
+# recovering fully in `release` seconds regardless of depth (slope
+# (1-limit/peak)/(release*rate) of the governing peak), and by default
+# (`level` option, on) scales the limited output by 1/limit back to full
+# scale. The gain-depth envelope is therefore
+#
+#     d[n] = max_k  dep[k] * tent(n - k),     dep[k] = max(0, 1-limit/pk[k])
+#
+# with tent(m) = 1-|m|/A on the attack side (m<0) and 1-m/R on the release
+# side — a (max, *) convolution with a fixed concave kernel. On TPU this is
+# computed EXACTLY as ffmpeg does not: each wedge's log is concave, so it is
+# the lower envelope of tangent lines, and each tangent line is a constant-
+# decay (max, *) scan — the associative `release_scan` kernel. A handful of
+# tangent pieces per side turns the O(N*W) planning loop into ~10 blocked
+# Kogge-Stone scans. Every tangent lies ABOVE the wedge, so each piece scan
+# upper-bounds the true depth envelope and their pointwise MIN does too:
+# the ceiling guarantee survives the approximation (never less attenuation
+# than the planner), with the gap bounded by the tangent spacing
+# (tests/test_limiter.py pins the measured bound against the float64
+# planner oracle in tests/oracles.py).
+
+_WEDGE_FRACTIONS = (0.0, 0.3, 0.55, 0.75, 0.88, 0.95)
+
+
+def _wedge_pieces(W: float):
+    """(gain a_j, decay rho_j) tangent pieces of the linear wedge 1 - m/W
+    in log space; min over the piece scans approximates the wedge max-conv."""
+    out = []
+    for fr in _WEDGE_FRACTIONS:
+        mj = fr * W
+        rho = math.exp(-1.0 / (W - mj))
+        a = (1.0 - fr) * math.exp(mj / (W - mj))
+        out.append((a, rho))
+    return tuple(out)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _alimiter_jit(x, pieces_r, pieces_a, autolevel, limit, level_in,
+                  level_out):
+    xin = x * level_in
+    peak = jnp.max(jnp.abs(xin), axis=1)
+    dep = jnp.maximum(0.0, 1.0 - limit / jnp.maximum(peak, 1e-9))
+    d, _ = _alimiter_depth(dep, pieces_r, pieces_a)
+    gain = 1.0 - d
+    scale = level_out / limit if autolevel else level_out
+    return xin * (gain * scale)[:, None], gain
+
+
+def _alimiter_depth(dep, pieces_r, pieces_a, rel_carry=None):
+    """Depth envelope shared by the offline and streaming forms.
+
+    dep: [N] required depths. ``rel_carry``: per-piece [P] release-scan
+    states carried from a previous stream block (None = zero history).
+    Returns (d [N], s_fwd [P, N]) — s_fwd are the per-piece forward scans
+    (the streaming caller reads its next carry at the emit boundary).
+    """
+    from ame_tpu.ops.window import release_scan
+    d_rel = None
+    fwd = []
+    for i, (a, rho) in enumerate(pieces_r):
+        u = dep * a
+        if rel_carry is not None:
+            # one synthetic leading sample re-seeds the scan exactly:
+            # s[0] = max(dep[0]*a, rho*carry)
+            u = jnp.concatenate([rel_carry[i][None], u])
+        s = release_scan(u, jnp.asarray(rho, dep.dtype))
+        if rel_carry is not None:
+            s = s[1:]
+        fwd.append(s)
+        d_rel = s if d_rel is None else jnp.minimum(d_rel, s)
+    d_att = None
+    for a, rho in pieces_a:
+        s = jnp.flip(release_scan(jnp.flip(dep) * a,
+                                  jnp.asarray(rho, dep.dtype)))
+        d_att = s if d_att is None else jnp.minimum(d_att, s)
+    return jnp.maximum(d_rel, d_att), jnp.stack(fwd)
+
+
+def alimiter_compat(x: jax.Array, sample_rate: float, limit: float = 0.98,
+                    attack_ms: float = 5.0, release_ms: float = 50.0,
+                    level_in: float = 1.0, level_out: float = 1.0,
+                    auto_level: bool = True, return_gain: bool = False):
+    """The reference's final stage with ffmpeg-contract ramps
+    (``alimiter=level_in=1:level_out=1:limit=0.98:attack=5:release=50``,
+    engine:223): linear attack/release gain envelope and the default
+    auto-level 1/limit output normalization (so reference masters peak at
+    ~1.0, NOT at 0.98). Zero-latency alignment: ffmpeg's extra
+    attack-length output delay is compensated (offline whole-track form).
+    """
+    A = max(int(round(attack_ms * sample_rate / 1000.0)), 1)
+    R = max(release_ms * sample_rate / 1000.0, 1.0)
+    y, gain = _alimiter_jit(x, _wedge_pieces(R), _wedge_pieces(float(A)),
+                            bool(auto_level), jnp.asarray(limit, x.dtype),
+                            jnp.asarray(level_in, x.dtype),
+                            jnp.asarray(level_out, x.dtype))
+    return (y, gain) if return_gain else y
+
+
+# ---------------------------------------------------------------------------
+# Streaming form (exact continuation across blocks)
+# ---------------------------------------------------------------------------
+#
+# The release side carries forward exactly through the per-piece scan
+# states. The attack side needs lookahead: the slowest attack piece decays
+# as e^(-m/A), so holding back H = 16*A samples puts any unseen-future
+# contribution below f32 resolution (e^-16 ~ 1e-7) — streamed output is
+# 1-LSB-identical to the offline form.
+
+_STREAM_HOLD_FACTOR = 16
+
+
+def alimiter_stream_init(sample_rate: float, limit: float = 0.98,
+                         attack_ms: float = 5.0, release_ms: float = 50.0,
+                         level_in: float = 1.0, level_out: float = 1.0,
+                         auto_level: bool = True) -> dict:
+    A = max(int(round(attack_ms * sample_rate / 1000.0)), 1)
+    R = max(release_ms * sample_rate / 1000.0, 1.0)
+    pieces_r = _wedge_pieces(R)
+    return {
+        "pieces_r": pieces_r, "pieces_a": _wedge_pieces(float(A)),
+        "hold": _STREAM_HOLD_FACTOR * A,
+        "limit": float(limit), "level_in": float(level_in),
+        "scale": (float(level_out) / float(limit) if auto_level
+                  else float(level_out)),
+        "pend": jnp.zeros((0, 2), jnp.float32),
+        "carry": jnp.zeros((len(pieces_r),), jnp.float32),
+    }
+
+
+def alimiter_stream_step(x_block: jax.Array, state: dict,
+                         flush: bool = False):
+    """Process one block; returns (emitted samples, new state). Emission
+    lags by up to ``hold`` samples until ``flush``."""
+    xin = jnp.concatenate([state["pend"],
+                           jnp.asarray(x_block, jnp.float32)
+                           * state["level_in"]], axis=0)
+    n = xin.shape[0]
+    emit = n if flush else max(n - state["hold"], 0)
+    if n == 0 or emit == 0:
+        return (jnp.zeros((0, xin.shape[1] if n else 2), jnp.float32),
+                {**state, "pend": xin})
+    peak = jnp.max(jnp.abs(xin), axis=1)
+    dep = jnp.maximum(0.0, 1.0 - state["limit"] / jnp.maximum(peak, 1e-9))
+    d, s_fwd = _alimiter_depth(dep, state["pieces_r"], state["pieces_a"],
+                               rel_carry=state["carry"])
+    gain = 1.0 - d
+    y = xin[:emit] * (gain[:emit] * state["scale"])[:, None]
+    new_state = {**state, "pend": xin[emit:],
+                 "carry": s_fwd[:, emit - 1]}
+    return y, new_state

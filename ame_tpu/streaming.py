@@ -323,20 +323,17 @@ class StreamingCompatMaster:
         self._gain = float(gain_db)
         from ame_tpu.graph.chain import params_from_settings
         self._p = params_from_settings(settings)
-        A = self.attack
-        self._state = {
-            "past": jnp.zeros((A - 1, 2), jnp.float32),
-            "pend": jnp.zeros((A - 1, 2), jnp.float32),
-            "u_prev": jnp.zeros((), jnp.float32),
-        }
+        from ame_tpu.ops.limiter import alimiter_stream_init
+        self._state = alimiter_stream_init(
+            sample_rate, C.LIMITER_CEILING, C.LIMITER_ATTACK_MS,
+            C.LIMITER_RELEASE_MS)
         self._chunks: list[np.ndarray] = []   # pending input, in order
         self._buffered = 0
-        self._first = True
         self._done = False
 
     @property
     def latency_samples(self) -> int:
-        return self.block_len + self.attack - 1
+        return self.block_len + self._state["hold"]
 
     def _run_block(self, block: jax.Array) -> jax.Array:
         """One 30 s (or final partial) block through the compat DSP with
@@ -359,11 +356,9 @@ class StreamingCompatMaster:
             y = quantize.int16_roundtrip(y * 10.0 ** (self._gain / 20.0))
         return y
 
-    def _emit(self, y: jax.Array) -> np.ndarray:
-        phase = "first" if self._first else "steady"
-        self._first = False
-        out, self._state = _limiter_step(y, self._state, self.sample_rate,
-                                         self.attack, phase)
+    def _emit(self, y: jax.Array, flush: bool = False) -> np.ndarray:
+        from ame_tpu.ops.limiter import alimiter_stream_step
+        out, self._state = alimiter_stream_step(y, self._state, flush=flush)
         return np.asarray(out)
 
     def _take(self, n: int) -> np.ndarray:
@@ -401,22 +396,8 @@ class StreamingCompatMaster:
         if self._done:
             return np.zeros((0, 2), np.float32)
         self._done = True
-        outs = []
         if self._buffered:
             tail = self._run_block(jnp.asarray(self._take(self._buffered)))
-            if self._first and tail.shape[0] < 2 * self.attack - 1:
-                # a sub-lookahead-only stream: fall back to the offline
-                # limiter (no context to stream over)
-                from ame_tpu.ops.limiter import lookahead_limiter
-                return np.asarray(lookahead_limiter(
-                    tail, self.sample_rate, C.LIMITER_CEILING,
-                    C.LIMITER_ATTACK_MS, C.LIMITER_RELEASE_MS))
-            outs.append(self._emit(tail))
-        if not self._first:
-            out, self._state = _limiter_step(
-                jnp.zeros((0, 2), jnp.float32), self._state,
-                self.sample_rate, self.attack, "flush")
-            outs.append(np.asarray(out))
-        if not outs:
-            return np.zeros((0, 2), np.float32)
-        return np.concatenate(outs, axis=0)
+        else:
+            tail = jnp.zeros((0, 2), jnp.float32)
+        return self._emit(tail, flush=True)

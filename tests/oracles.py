@@ -202,3 +202,52 @@ def integrated_lufs(x, sample_rate):
     if not np.any(gate):
         return -np.inf
     return -0.691 + 10 * np.log10(power[gate].mean())
+
+
+# --- ffmpeg alimiter gain planner (oracle for N4) ---------------------------
+
+def alimiter_gain(peak, sample_rate, limit=0.98, attack_ms=5.0,
+                  release_ms=50.0):
+    """Gain trajectory of the alimiter planning algorithm (structural
+    transcription of the published af_alimiter design — the reference runs
+    it as `alimiter=level_in=1:level_out=1:limit=0.98:attack=5:release=50`,
+    audio_mastering_engine.py:223):
+
+      * `attack`-length lookahead buffer; when a peak above `limit` enters,
+        the gain is planned to descend LINEARLY so it reaches limit/peak
+        exactly when that peak exits; the steepest pending descent governs
+        (the nextpos/nextdelta plan queue, expressed here as the greedy
+        per-step minimum over the lookahead window — same trajectory).
+      * release ascends linearly at (1 - limit/peak)/(release*rate) of the
+        governing peak — i.e. full recovery takes `release` seconds
+        regardless of depth.
+      * asc (auto-release) is NOT modeled — the reference does not enable
+        it.
+
+    peak: [N] channel-linked |x * level_in|. Returns gain[n] aligned to the
+    sample it scales (the buffer-exit alignment; ffmpeg additionally delays
+    the output by the attack length, which the offline rebuild compensates).
+    Float64, O(N*attack) — test fixtures only.
+    """
+    A = max(int(round(attack_ms * sample_rate / 1000.0)), 1)
+    Rs = release_ms * sample_rate / 1000.0
+    patt = np.minimum(1.0, limit / np.maximum(np.asarray(peak, np.float64),
+                                              1e-12))
+    N = len(patt)
+    ext = np.concatenate([patt, np.ones(A)])
+    steps = np.arange(1, A + 1, dtype=np.float64)
+    att = 1.0
+    rdelta = (1.0 - limit) / Rs
+    gain = np.empty(N)
+    for m in range(N):
+        need = np.min((ext[m + 1: m + 1 + A] - att) / steps)
+        if need < 0.0:
+            att += need            # steepest pending descent governs
+        else:
+            att = min(att + rdelta, 1.0)
+        if att >= ext[m] - 1e-15:  # this sample's constraint governs now
+            att = min(att, ext[m])
+            if ext[m] < 1.0:
+                rdelta = (1.0 - ext[m]) / Rs
+        gain[m] = att
+    return gain

@@ -44,6 +44,13 @@ def rel_err(got, want):
     return np.linalg.norm(got - want) / (np.linalg.norm(want) + 1e-12)
 
 
+# alimiter's default auto-level scales the limited output by 1/limit
+# (ops/limiter.alimiter_compat — ffmpeg `level` option, on by default, so
+# reference masters peak at ~1.0); below-ceiling content is passthrough
+# times this constant.
+AUTO = 1.0 / 0.98
+
+
 @pytest.mark.parametrize("preset", [
     dict(bass_boost=2.5, mid_cut=1.0, presence_boost=-1.0, treble_boost=0.5),
     dict(bass_boost=-2.0, mid_cut=3.0, presence_boost=-2.0,
@@ -58,10 +65,11 @@ def test_compat_pre_loudnorm_parity(preset):
     s = MasterSettings.from_dict({**sd, "mode": "compat"})
     xq = quantize.int16_roundtrip(jnp.asarray(x))
     got, _ = master_graph(xq, SR, s)
-    # graph includes the final limiter; at these levels it's pass-through,
-    # so compare directly. Note preset1's negative shelves trigger quirk Q1
-    # (LP∘HP annihilates the signal) — both sides agree to ~1 LSB, so gate
-    # on relative error OR absolute int16-LSB error.
+    # graph includes the final limiter; at these levels it's pass-through
+    # times the auto-level constant. Note preset1's negative shelves
+    # trigger quirk Q1 (LP∘HP annihilates the signal) — both sides agree
+    # to ~1 LSB, so gate on relative error OR absolute int16-LSB error.
+    want = want * AUTO
     max_abs = float(np.max(np.abs(np.asarray(got, np.float64) - want)))
     assert rel_err(got, want) < 3e-3 or max_abs <= 2.0 / 32768.0, (
         rel_err(got, want), max_abs)
@@ -77,8 +85,10 @@ def test_compat_full_chain_lufs_accuracy():
     xq = quantize.int16_roundtrip(jnp.asarray(x))
     y, info = master_graph(xq, SR, s)
     out_lufs = float(integrated_lufs(y, SR))
-    assert abs(out_lufs - (-14.0)) < 0.1, out_lufs
-    assert float(np.max(np.abs(np.asarray(y)))) <= 0.98 + 1e-5  # Q8 limiter
+    # the post-loudnorm alimiter auto-level (+20*log10(1/0.98) = +0.175 dB)
+    # overshoots the target exactly like the reference's output does
+    assert abs(out_lufs - (-14.0 + 20 * np.log10(AUTO))) < 0.1, out_lufs
+    assert float(np.max(np.abs(np.asarray(y)))) <= 1.0 + 1e-5  # Q8 limiter
 
 
 def test_compat_chunked_matches_chunked_oracle(monkeypatch):
@@ -98,11 +108,12 @@ def test_compat_chunked_matches_chunked_oracle(monkeypatch):
                                   "compat_chunked": True})
     xq = quantize.int16_roundtrip(jnp.asarray(x))
     got, _ = master_graph(xq, sr, s)
+    want = want * AUTO
     assert rel_err(got, want) < 3e-3
     # the reset is load-bearing: a continuous-state (unchunked) oracle must
     # NOT match as well right after the boundary
     want_cont = _oracle_pre_loudnorm_sr(x.astype(np.float64), sd, sr,
-                                        chunk_len=None)
+                                        chunk_len=None) * AUTO
     seg = slice(sr, sr + 256)
     err_reset = rel_err(got[seg], want[seg])
     err_cont = rel_err(got[seg], want_cont[seg])
@@ -142,7 +153,7 @@ def test_compat_chunked_multiband_boundaries(monkeypatch):
         return oracles.multiband_compress(seg, sr, sd) / 32768.0
 
     want = np.concatenate([oracle_chunk(x[i:i + chunk].astype(np.float64))
-                           for i in range(0, len(x), chunk)], axis=0)
+                           for i in range(0, len(x), chunk)], axis=0) * AUTO
 
     s = MasterSettings.from_dict({**sd, "lufs": None, "mode": "compat",
                                   "compat_chunked": True})

@@ -46,11 +46,25 @@ _MINOR = (0, 3, 7, 12)
 _DISSONANT = (0, 1, 6, 13)  # minor 2nd + tritone stack
 
 
-def _tone(freq, n, sr, shape="sine"):
+def _tone(freq, n, sr, shape="sine", rng=None):
     t = np.arange(n) / sr
     ph = 2 * np.pi * freq * t
     if shape == "saw":
         return 2.0 * ((freq * t) % 1.0) - 1.0
+    if shape == "square":
+        return np.sign(np.sin(ph))
+    if shape == "triangle":
+        return 2.0 * np.abs(2.0 * ((freq * t) % 1.0) - 1.0) - 1.0
+    if shape == "overtones":
+        # additive overtone stack with random rolloff — widens the timbre
+        # space within the additive family (the OOF validation corpus uses
+        # physical-model/FM synthesis instead, models/oof_corpus.py)
+        rolloff = rng.uniform(1.2, 2.5) if rng is not None else 1.8
+        y = np.zeros(n)
+        for h in range(1, 6):
+            if freq * h < sr / 2:
+                y += np.sin(2 * np.pi * freq * h * t) / h ** rolloff
+        return y
     return np.sin(ph)
 
 
@@ -68,33 +82,41 @@ def synth_track(cls: str, rng: np.random.Generator,
     n = int(seconds * sr)
     y = np.zeros(n)
 
+    # timbres are drawn per-track from class-plausible additive shapes so
+    # the model cannot key on one oscillator's texture (round-3: the OOF
+    # evaluation showed the round-2 single-timbre corpus taught exactly
+    # that shortcut)
     if cls == "Angry/Anxious":
         bpm = rng.uniform(150, 185)
-        chord, shape = _DISSONANT, "saw"
+        chord = _DISSONANT
+        shape = rng.choice(["saw", "square", "overtones"])
         roots = rng.uniform(-10, 2, 8)       # mid register
         hit_len, decay = 0.25, 0.12
-        noise, gain, drive = 0.06, 0.9, 4.0
+        noise, gain, drive = rng.uniform(0.03, 0.09), 0.9, rng.uniform(3, 6)
         events_per_beat = 2
     elif cls == "Calm/Content":
         bpm = rng.uniform(58, 78)
-        chord, shape = _MAJOR, "sine"
+        chord = _MAJOR
+        shape = rng.choice(["sine", "triangle", "overtones"])
         roots = rng.uniform(-14, -4, 8)
         hit_len, decay = 2.5, 1.2
-        noise, gain, drive = 0.004, 0.35, 1.0
+        noise, gain, drive = rng.uniform(0.002, 0.008), 0.35, 1.0
         events_per_beat = 0.5
     elif cls == "Happy/Excited":
         bpm = rng.uniform(122, 160)
-        chord, shape = _MAJOR, "sine"
+        chord = _MAJOR
+        shape = rng.choice(["sine", "triangle", "square", "overtones"])
         roots = rng.uniform(0, 12, 8)        # bright, high register
         hit_len, decay = 0.3, 0.15
-        noise, gain, drive = 0.02, 0.7, 1.0
+        noise, gain, drive = rng.uniform(0.01, 0.04), 0.7, 1.0
         events_per_beat = 2
     elif cls == "Sad/Depressed":
         bpm = rng.uniform(48, 68)
-        chord, shape = _MINOR, "sine"
+        chord = _MINOR
+        shape = rng.choice(["sine", "triangle", "overtones"])
         roots = rng.uniform(-26, -14, 8)     # low register, dark
         hit_len, decay = 2.0, 1.0
-        noise, gain, drive = 0.003, 0.3, 1.0
+        noise, gain, drive = rng.uniform(0.002, 0.006), 0.3, 1.0
         events_per_beat = 0.5
     else:
         raise ValueError(cls)
@@ -111,10 +133,10 @@ def synth_track(cls: str, rng: np.random.Generator,
         # arpeggiate for the fast classes, stack a pad for the slow ones
         if events_per_beat >= 2:
             note = chord[i % len(chord)]
-            seg += _tone(_hz(root + note), ln, sr, shape)
+            seg += _tone(_hz(root + note), ln, sr, shape, rng)
         else:
             for note in chord:
-                seg += _tone(_hz(root + note), ln, sr, shape) / len(chord)
+                seg += _tone(_hz(root + note), ln, sr, shape, rng) / len(chord)
         seg *= _env(ln, sr, 0.005 if events_per_beat >= 2 else 0.4, decay)
         end = min(start + ln, n)
         y[start:end] += seg[:end - start]
@@ -124,11 +146,14 @@ def synth_track(cls: str, rng: np.random.Generator,
     y = np.tanh(y * drive) * gain
     y += rng.normal(0, noise, n)
     if cls == "Sad/Depressed":
-        # darken: smooth spectral rolloff above ~900 Hz (FFT-domain — this
-        # is corpus synthesis, not a DSP-engine code path)
+        # darken: smooth spectral rolloff (FFT-domain — corpus synthesis,
+        # not a DSP-engine code path); corner/slope randomized so the
+        # model keys on "dark", not on one fixed filter signature
         spec = np.fft.rfft(y)
         f = np.fft.rfftfreq(n, 1.0 / sr)
-        spec *= 1.0 / (1.0 + (f / 900.0) ** 2)
+        corner = rng.uniform(600.0, 1400.0)
+        slope = rng.uniform(1.5, 2.5)
+        spec *= 1.0 / (1.0 + (f / corner) ** slope)
         y = np.fft.irfft(spec, n)
     y = np.clip(y, -1, 1).astype(np.float32)
     return np.stack([y, y], axis=1)

@@ -40,8 +40,42 @@ def _class_dirs(root: str) -> dict[int, str]:
     return out
 
 
+def _augment(seg: np.ndarray, sr: int, rng: np.random.Generator,
+             strength: float = 1.0) -> np.ndarray:
+    """Texture-destroying augmentations (round-3): the OOF evaluation
+    showed the round-2 model keyed on generator texture, so training views
+    randomize everything that is NOT a mood cue — gain, vari-speed
+    (pitch+tempo together, within class tempo-range slack), spectral tilt,
+    background noise color/level, and soft drive."""
+    seg = seg * rng.uniform(0.5, 1.3)
+    # vari-speed +-8%: resample by index interpolation
+    r = rng.uniform(1.0 - 0.08 * strength, 1.0 + 0.08 * strength)
+    if abs(r - 1.0) > 1e-3:
+        idx = np.arange(int(len(seg) / r)) * r
+        seg = np.interp(idx, np.arange(len(seg)), seg).astype(np.float32)
+    # spectral tilt +-: dark or bright by up to ~6 dB/octave-ish
+    s = rng.uniform(-1.2, 1.2) * strength
+    if abs(s) > 0.05:
+        spec = np.fft.rfft(seg)
+        f = np.fft.rfftfreq(len(seg), 1.0 / sr)
+        g = (1.0 + f / rng.uniform(500.0, 3000.0)) ** (-s)
+        seg = np.fft.irfft(spec * np.clip(g, 0.1, 4.0),
+                           len(seg)).astype(np.float32)
+    # background noise: white or pink-ish, -50..-28 dB
+    amp = 10.0 ** (rng.uniform(-50, -28) / 20.0)
+    w = rng.normal(0, 1, len(seg))
+    if rng.uniform() < 0.5:
+        w = np.cumsum(w)
+        w -= np.linspace(w[0], w[-1], len(w))
+        w /= max(np.abs(w).max(), 1e-9) * 0.3
+    seg = seg + (amp * w).astype(np.float32)
+    # soft drive
+    d = rng.uniform(1.0, 1.0 + 1.5 * strength)
+    return (np.tanh(seg * d) / d).astype(np.float32)
+
+
 def _load_examples(root: str, rng: np.random.Generator,
-                   per_track: int = 2):
+                   per_track: int = 3, augment: float = 1.0):
     """Yield (image [128,128,3], label) pairs."""
     import jax.numpy as jnp
     from ame_tpu.analysis import musicologist as M
@@ -68,8 +102,9 @@ def _load_examples(root: str, rng: np.random.Generator,
                     seg = y[off:off + win]
                 else:
                     seg = y
-                gain = float(rng.uniform(0.6, 1.2))
-                img = np.asarray(M.spectrogram_image(jnp.asarray(seg * gain)))
+                if augment > 0:
+                    seg = _augment(seg, M.ANALYSIS_SR, rng, augment)
+                img = np.asarray(M.spectrogram_image(jnp.asarray(seg)))
                 yield img, label
 
 

@@ -10,7 +10,7 @@ and otherwise falls back to its frame-adaptive DYNAMIC mode.
 This module is a structural transcription of the published loudnorm
 algorithm (FFmpeg ``af_loudnorm``, K. Swanson's EBU R128 normalizer) built
 TPU-first — all heavy measurement is parallel framed matmul/reduction work,
-and only the genuinely sequential gain controller runs as a ``lax.scan``:
+and the gain controller itself is parallel too (see ``_dynamic_jit``):
 
 * 100 ms frames; a ring of 30 per-frame gain deltas (3 s of context).
 * per-frame delta = 10^((env_global + env_shortterm)/20) where
@@ -20,8 +20,11 @@ and only the genuinely sequential gain controller runs as a ``lax.scan``:
   target_LRA of the program average ride ONE track gain
   (delta ≈ target_I − integrated: dynamics preserved) while excursions
   beyond it are compressed; frames whose short-term loudness is below
-  ``measured_thresh`` HOLD the previous delta; a quiet-start state creeps
-  the gain up by ×1.0058/frame until the output reaches target.
+  ``measured_thresh`` HOLD the previous delta. (The published design also
+  carries a quiet-start creep state; under this module's step ordering it
+  is provably a no-op — a creeped value is always overwritten before it
+  is read — so it is omitted, which is what makes the controller fully
+  parallel.)
 * the applied gain is the 21-tap σ=3.5 gaussian of the delta ring centered
   10 frames (1 s) ahead, linearly interpolated across each frame's samples.
 * the running integrated loudness is tracked ebur128-style with a 0.1 LU
@@ -65,7 +68,6 @@ RING = 30                # 3 s delta ring
 GAUSS_TAPS = 21          # gaussian smoothing window
 GAUSS_SIGMA = 3.5
 GAIN_LOOKAHEAD = 10      # window center: 1 s ahead of the output frame
-GROW_FACTOR = 1.0058     # quiet-start gain creep per frame
 
 # ebur128-style histogram of output gating blocks: 0.1 LU bins, [-70, +5)
 _HIST_LO = -70.0
@@ -89,25 +91,23 @@ def _hist_centers() -> np.ndarray:
 # Dynamic-mode engine
 # ---------------------------------------------------------------------------
 
-def _integrated_from_hist(hist, bin_lufs, bin_power):
-    """BS.1770 gated integrated loudness from a block-loudness histogram
-    (absolute gate is the histogram floor; relative gate recomputed)."""
-    cnt = jnp.sum(hist)
-    mean_p = jnp.sum(hist * bin_power) / jnp.maximum(cnt, 1.0)
-    rel = _power_to_lufs(mean_p) - 10.0
-    m = jnp.where(bin_lufs > rel, hist, 0.0)
-    gcnt = jnp.sum(m)
-    gp = jnp.sum(m * bin_power) / jnp.maximum(gcnt, 1.0)
-    glob = jnp.where((cnt > 0) & (gcnt > 0), _power_to_lufs(gp),
-                     jnp.float32(-1e9))
-    return glob, rel
-
-
 @partial(jax.jit, static_argnums=(1,))
 def _dynamic_jit(x, sample_rate, target_i, target_tp, target_lra,
                  measured_i, measured_thresh, n_valid=None):
     """Frame-adaptive normalization of [N, C] audio. Returns
-    (y, output_i, output_thresh) with y the same length as x."""
+    (y, output_i, output_thresh) with y the same length as x.
+
+    FULLY PARALLEL formulation (no scan): every controller input — the
+    short-term loudness, the gating-block histogram, and therefore the
+    running integrated loudness each delta consults — is a function of the
+    INPUT alone, so the per-frame deltas are computed for all frames at
+    once (cumulative histogram + vectorized gating), below-threshold HOLD
+    frames are filled by a prefix last-active gather, and the gaussian
+    gain smoothing is a 21-tap correlation. (The published controller's
+    quiet-start creep state is a no-op under this step ordering — a creeped
+    value is always overwritten before use — so no sequential state
+    remains.)
+    """
     from ame_tpu.ops.loudness import _measure_jit
     n, c = x.shape
     L = int(round(FRAME_S * sample_rate))
@@ -115,130 +115,95 @@ def _dynamic_jit(x, sample_rate, target_i, target_tp, target_lra,
     pad = F * L - n
     xp = jnp.pad(x, ((0, pad), (0, 0)))
 
-    # ---- parallel precomputation ----------------------------------------
+    # ---- per-frame input measurement ------------------------------------
     sos = design.k_weighting_sos(sample_rate)
     xk, _ = sosfilt_scan(sos, xp)
-    sq = jnp.sum(xk * xk, axis=1).reshape(F, L)           # [F, L]
-    t_rel = (jnp.arange(L, dtype=x.dtype) / L)
-    M0 = jnp.sum(sq, axis=1)                              # Σ xk²
-    M1 = jnp.sum(sq * t_rel, axis=1)                      # Σ (n/L)·xk²
-    M2 = jnp.sum(sq * t_rel * t_rel, axis=1)              # Σ (n/L)²·xk²
-    # short-term input loudness: trailing 3 s (30 hops) per frame
+    M0 = jnp.sum((xk * xk).reshape(F, L * c), axis=1)     # Σ xk² per frame
     cs = jnp.concatenate([jnp.zeros((1,), x.dtype), jnp.cumsum(M0)])
-    st_sum = cs[RING:] - cs[:-RING]                       # [F-29]
+    # short-term input loudness: trailing 3 s (30 hops) per frame
+    st_sum = cs[RING:] - cs[:-RING]
     st_in = jnp.concatenate([
         jnp.full((RING - 1,), -1e9, x.dtype),
         _power_to_lufs(st_sum / (RING * L))])             # [F]
-    peak = jnp.max(jnp.abs(xp).reshape(F, L * c), axis=1)  # frame sample peak
+    peak = jnp.max(jnp.abs(xp).reshape(F, L * c), axis=1)
 
     # input-side gating blocks (400 ms, one per hop): block ending at f
-    blk_sum = cs[4:] - cs[:-4]                            # [F-3]
+    blk_sum = cs[4:] - cs[:-4]
     blk_lufs = jnp.concatenate([
         jnp.full((3,), -1e9, x.dtype),
         _power_to_lufs(blk_sum / (4 * L))])               # [F]
-    # bucket-padding handling: blocks past the true track end never enter
-    # the histogram (the padding is zeros anyway, but an explicit mask also
-    # drops the partial boundary block, matching an unpadded measurement)
     if n_valid is None:
         blk_valid = jnp.ones((F,), bool)
     else:
+        # blocks past the true track end never enter the histogram (the
+        # padding is zeros anyway; the mask also drops the boundary block)
         blk_valid = (jnp.arange(F) + 1) * L <= n_valid
 
-    # the controller consumes the input-side values 30 frames ahead of the
-    # output frame it is gating (the 3 s lookahead buffer)
-    ahead = jnp.minimum(jnp.arange(F) + RING, F - 1)
-    st_ahead = st_in[ahead]
-    blk_idx_all = jnp.clip(((blk_lufs - _HIST_LO) / _HIST_STEP).astype(
-        jnp.int32), 0, _NBINS - 1)
-    blk_add_all = jnp.where((blk_lufs > -70.0) & blk_valid, 1.0, 0.0)
-    # blocks ending at frames 0..29 are known before the first output frame
-    hist0 = jnp.sum(
-        jnp.where((jnp.arange(F) < RING)[:, None],
-                  blk_add_all[:, None]
-                  * (blk_idx_all[:, None] == jnp.arange(_NBINS)[None, :]),
-                  0.0), axis=0)
-
-    w = jnp.asarray(_gauss_weights(), x.dtype)
     bin_lufs = jnp.asarray(_hist_centers(), x.dtype)
     bin_power = 10.0 ** ((bin_lufs + 0.691) / 10.0)
-    ceil_lin = 10.0 ** (target_tp / 20.0)
+    blk_idx = jnp.clip(((blk_lufs - _HIST_LO) / _HIST_STEP).astype(
+        jnp.int32), 0, _NBINS - 1)
+    blk_add = jnp.where((blk_lufs > -70.0) & blk_valid, 1.0, 0.0)
 
-    # ---- FIRST_FRAME init ------------------------------------------------
+    # cumulative histogram: H[k] = counts of blocks ending at frames <= k,
+    # then the running gated integrated loudness for EVERY prefix at once
+    onehot = blk_add[:, None] * (blk_idx[:, None]
+                                 == jnp.arange(_NBINS)[None, :])  # [F, NB]
+    H = jnp.cumsum(onehot, axis=0)                                # [F, NB]
+    cnt = jnp.sum(H, axis=1)
+    mean_p = jnp.sum(H * bin_power[None], axis=1) / jnp.maximum(cnt, 1.0)
+    rel = _power_to_lufs(mean_p) - 10.0                           # [F]
+    gmask = jnp.where(bin_lufs[None] > rel[:, None], H, 0.0)
+    gcnt = jnp.sum(gmask, axis=1)
+    gp = jnp.sum(gmask * bin_power[None], axis=1) / jnp.maximum(gcnt, 1.0)
+    glob_cum = jnp.where((cnt > 0) & (gcnt > 0), _power_to_lufs(gp),
+                         jnp.float32(-1e9))                       # [F]
+
+    # ---- deltas for every input frame k (consulted 3 s ahead of the
+    # output frame they gate). delta[k] sees blocks <= k-1.
+    FE = F + RING                                # extended frame axis
+    k_src = jnp.minimum(jnp.arange(FE), F - 1)   # EOF flush clamps to last
+    st_k = st_in[k_src]
+    glob_k = glob_cum[jnp.maximum(k_src - 1, 0)]
+    glob_k = jnp.where(jnp.arange(FE) == 0, jnp.float32(-1e9), glob_k)
+    env_g = jnp.clip(st_k - glob_k, -target_lra / 2.0, target_lra / 2.0)
+    cand = 10.0 ** ((env_g + target_i - st_k) / 20.0)
+    hold = st_k < measured_thresh
+
+    # FIRST_FRAME: deltas for k < RING come from the 3 s priming window
     st0 = st_in[RING - 1]
     quiet_start = st0 < measured_thresh
     env0 = jnp.where(st0 <= -70.0, 0.0,
                      jnp.where(quiet_start, target_i - measured_i,
                                target_i - st0))
     delta0 = 10.0 ** (env0 / 20.0)
-    carry0 = dict(
-        d=jnp.full((RING,), delta0, x.dtype),
-        prev_delta=delta0,
-        above=jnp.where(quiet_start, 0.0, 1.0).astype(x.dtype),
-        hist=hist0.astype(x.dtype),
-        st30=jnp.zeros((RING,), x.dtype),
-    )
+    primed = jnp.arange(FE) < RING
+    cand = jnp.where(primed, delta0, cand)
+    hold = jnp.where(primed, False, hold)
 
-    def step(carry, xs):
-        st_g, blk_i, blk_a, m0, m1, m2, pk = xs
-        d, prev_delta, above = carry["d"], carry["prev_delta"], carry["above"]
-        hist, st30 = carry["hist"], carry["st30"]
+    # HOLD frames repeat the last non-hold delta (delta0 if none yet):
+    # prefix last-active index + gather
+    idx = jnp.arange(FE)
+    last_active = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(hold, -1, idx))
+    delta = jnp.where(last_active < 0, delta0, cand[jnp.maximum(
+        last_active, 0)])                                          # [FE]
 
-        glob_in, _ = _integrated_from_hist(hist, bin_lufs, bin_power)
-        st_out = _power_to_lufs(jnp.mean(st30))
+    # ---- gaussian gain smoothing: gain[f] = Σ_j w[j] delta[f+j] ---------
+    w = jnp.asarray(_gauss_weights(), x.dtype)
+    gext = sum(w[j] * lax.dynamic_slice_in_dim(delta, j, F + 1)
+               for j in range(GAUSS_TAPS))                         # [F+1]
+    gain, gain_next = gext[:F], gext[1:F + 1]
 
-        # quiet-start creep until the output reaches target
-        startup = above == 0.0
-        prev_delta = jnp.where(startup & (st_g > measured_thresh),
-                               prev_delta * GROW_FACTOR, prev_delta)
-        above = jnp.where(startup & (st_out >= target_i), 1.0, above)
+    # per-frame true-peak ceiling (ffmpeg: 192 kHz sample-domain limiter)
+    ceil_lin = 10.0 ** (target_tp / 20.0)
+    cap = jnp.minimum(1.0, ceil_lin / jnp.maximum(
+        peak * jnp.maximum(gain, gain_next), 1e-9))
+    g0 = gain * cap
+    g1 = gain_next * cap
 
-        # delta for the input frame arriving now (3 s ahead of output):
-        # frames within ±target_lra/2 of the running integrated loudness
-        # ride the single track gain target_i − glob_in; larger excursions
-        # are compressed
-        hold = st_g < measured_thresh
-        env_g = jnp.clip(st_g - glob_in, -target_lra / 2.0,
-                         target_lra / 2.0)
-        delta_new = jnp.where(
-            hold, prev_delta,
-            10.0 ** ((env_g + target_i - st_g) / 20.0))
-        prev_delta = jnp.where(hold, prev_delta, delta_new)
-
-        # smoothed gain for the output frame: gaussian over deltas
-        # [f .. f+20], centered 1 s ahead; next-frame gain for interpolation
-        gain = jnp.dot(w, d[:GAUSS_TAPS])
-        gain_next = jnp.dot(w, d[1:GAUSS_TAPS + 1])
-
-        # per-frame true-peak ceiling (ffmpeg: 192 kHz sample-domain limiter)
-        cap = jnp.minimum(
-            1.0, ceil_lin / jnp.maximum(pk * jnp.maximum(gain, gain_next),
-                                        1e-9))
-        g0 = gain * cap
-        g1 = gain_next * cap
-
-        # output short-term tracking for the quiet-start check (gain
-        # commuted through the K-filter; exact via the hop moments)
-        dg = g1 - g0
-        hop_p = (g0 * g0 * m0 + 2.0 * g0 * dg * m1 + dg * dg * m2) / L
-        st30 = jnp.concatenate([st30[1:], hop_p[None]])
-
-        # the input block arriving 3 s ahead enters the histogram
-        hist = hist + blk_a * (jnp.arange(_NBINS) == blk_i)
-        d = jnp.concatenate([d[1:], delta_new[None]])
-
-        new_carry = dict(d=d, prev_delta=prev_delta, above=above,
-                         hist=hist, st30=st30)
-        return new_carry, (g0, g1)
-
-    # past the clamp point the same final block would re-enter every step;
-    # gate it so each block is counted once
-    blk_add_ahead = jnp.where(jnp.arange(F) + RING <= F - 1,
-                              blk_add_all[ahead], 0.0)
-    xs = (st_ahead, blk_idx_all[ahead], blk_add_ahead,
-          M0, M1, M2, peak)
-    carry, (g0, g1) = lax.scan(step, carry0, xs, unroll=4)
-
-    # apply the per-frame interpolated gains (parallel)
+    # apply the per-frame linearly interpolated gains
+    t_rel = jnp.arange(L, dtype=x.dtype) / L
     gain_samples = (g0[:, None] + (g1 - g0)[:, None] * t_rel[None, :])
     y = (xp.reshape(F, L, c) * gain_samples[:, :, None]).reshape(F * L, c)
     y = y[:n]

@@ -1,4 +1,8 @@
-"""Pallas one-pass cascade scan (TPU kernel) — the default IIR engine.
+"""Pallas one-pass cascade scan (TPU kernel) — a routed IIR alternative.
+
+The DEFAULT engine is the MXU tile-convolution path (ops/tile_conv.py,
+selected in ops/scan_iir.py); this kernel serves the host-designed k>=2
+cascades behind AME_TPU_PALLAS=1 and remains the one-HBM-pass formulation.
 
 The XLA blocked Kogge-Stone scan (ops/scan_iir.py) re-touches HBM once per
 level (~7 passes over the [D, N, C] state at L=128). This kernel does the

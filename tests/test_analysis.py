@@ -138,3 +138,37 @@ def test_analyze_batch_mixed_paths(tmp_path):
         assert set(briefs[i]) == {"mood", "tempo", "brightness", "density"}
         # batched result must agree with the single-track path
         assert briefs[i] == analyze_song(str(p))
+
+
+def test_analyze_batch_mixed_lengths_one_dispatch_per_group(tmp_path):
+    """Different-length tracks group by conditioned length; every group
+    runs as ONE _analyze_batch_jit dispatch and results still match the
+    single-track path exactly."""
+    from ame_tpu.analysis import musicologist as M
+    from ame_tpu.io.wav import write_wav
+
+    sr = 22050
+    paths = []
+    for i, secs in enumerate((2.0, 3.0, 2.0)):
+        t = np.arange(int(sr * secs)) / sr
+        y = (0.3 * np.sin(2 * np.pi * (200 + 300 * i) * t)).astype(
+            np.float32)
+        p = tmp_path / f"t{i}.wav"
+        write_wav(str(p), np.stack([y, y], 1), sr)
+        paths.append(str(p))
+
+    calls = []
+    orig = M._analyze_batch_jit
+
+    def counting(params, ys):
+        calls.append(ys.shape)
+        return orig(params, ys)
+
+    M._analyze_batch_jit, briefs = counting, None
+    try:
+        briefs = M.analyze_batch(paths)
+    finally:
+        M._analyze_batch_jit = orig
+    assert sorted(c[0] for c in calls) == [1, 2]  # two length groups
+    for p, brief in zip(paths, briefs):
+        assert brief == M.analyze_song(p)

@@ -105,3 +105,33 @@ def test_master_batch_matches_single_track_graph():
     for b in range(3):
         want, _ = master_graph(xs[b], 44100.0, s)
         np.testing.assert_allclose(ys[b], np.asarray(want), atol=3e-4)
+
+
+def test_master_batch_stacked_matches_per_track():
+    """Channel-stacked [N, 2B] fleet chain == the single-track quality
+    chain per track (track-halved width/detector/loudness/limiter
+    semantics), up to f32 reduction-order noise."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ame_tpu.graph.chain import master_graph
+    from ame_tpu.parallel.stacked import master_batch_stacked
+    from ame_tpu.config import MasterSettings
+    from tests.conftest import make_test_signal
+
+    sr = 22050
+    n = sr * 2
+    tracks = []
+    for i in range(3):
+        x = make_test_signal("noise", n, sr, seed=10 + i) * (0.1 + 0.1 * i)
+        x[:, 1] *= 0.8  # genuinely stereo so width/link semantics matter
+        tracks.append(x.astype(np.float32))
+    xs = np.stack(tracks)
+
+    s = MasterSettings(bass_boost=2.0, width=1.3, analog_character=15.0,
+                       multiband=True, lufs=-14.0, mode="quality")
+    got = np.asarray(master_batch_stacked(xs, sr, s))
+    assert got.shape == xs.shape
+    for b in range(3):
+        want, _ = master_graph(jnp.asarray(tracks[b]), sr, s)
+        np.testing.assert_allclose(got[b], np.asarray(want),
+                                   atol=5e-5, rtol=1e-4)

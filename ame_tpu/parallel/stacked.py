@@ -13,6 +13,14 @@ width, detector RMS, loudness gating, true peak, limiter link — get
 (saturation, EQ, crossovers) is reused untouched.
 
 Quality chain only (the fleet product path — parallel/fleet.py).
+
+OUTCOME (TPU-measured, round 3): this layout ran 16.4 ms/track at B=4 —
+WORSE than both the vmapped [B, N, 2] batch (11.9) and host-serial
+single-track dispatches (8.4). The shipped fleet path is therefore
+parallel/batch.py's ``lax.map`` of the unmodified single-track program
+(4.9 ms/track at B=4, one dispatch per batch); this module is kept as the
+documented experiment and for its track-halved stacked kernels
+(parity-tested in tests/test_parallel.py).
 """
 
 from __future__ import annotations

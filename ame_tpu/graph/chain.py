@@ -76,14 +76,16 @@ def _stage_eq_width_compat(x, bass, mid_cut, presence, treble,
     return quantize.int16_roundtrip(y)
 
 
+@partial(jax.jit, static_argnums=(3, 4, 5))
 def _stage_multiband_compat(x, threshs, ratios, sample_rate, exact,
                             chunk_len):
-    # Deliberately NOT wrapped in jax.jit: the exact pydub-gain engine
-    # needs one host synchronization for its Jacobi convergence verdict
-    # (ops/pydub_gain._gain_engine), so the stage composes its internally
-    # jitted pieces (crossover bank, detector, gain engine, attenuation)
-    # eagerly. Under an enclosing jit (master_graph_fused) the engine
-    # detects the trace and takes the fully-traceable two-pass path.
+    # One traced program (round 3): the exact gain engine's Jacobi verdict
+    # and its two-pass fallback are selected on device via lax.cond
+    # (ops/pydub_gain._gain_engine), so the whole stage — crossover bank,
+    # detector, gain engine, attenuation, saturating adds — fuses with
+    # zero host round-trips. (Round 2 kept this stage eager for the
+    # verdict's host sync, which cost more in tunnel dispatch latency
+    # than the kernels themselves.)
     return mb.multiband_compat(x, sample_rate, threshs, ratios,
                                exact=exact, chunk_len=chunk_len)
 

@@ -42,6 +42,12 @@ def _configs():
                                     treble_boost=0.5, width=1.2,
                                     analog_character=20.0, lufs=-14.0,
                                     mode="quality"),
+        # bit-faithful pydub-gain multiband + real ffmpeg two-pass loudnorm
+        # + alimiter-contract limiter, one traced program (round 3: the
+        # Jacobi verdict moved on device, so compat fuses end to end)
+        "exact_compat_multiband": MasterSettings(
+            bass_boost=1.5, treble_boost=-1.0, multiband=True,
+            lufs=-14.0, mode="compat"),
     }
 
 

@@ -205,6 +205,19 @@ def test_jacobi_convergence_flag_and_fallback():
     the exact sequential path."""
     from ame_tpu.ops import pydub_gain as pg
 
+    def carries(m1, resets, scal):
+        npad = m1[0].shape[1]
+        S = pg._select_S(npad)
+        TT = pg._K  # interpret mode tiles small
+        seg_len = -(-npad // (S * TT)) * TT
+        npad2 = S * seg_len
+        rg = jnp.pad(resets[0], (0, npad2 // pg._K - resets.shape[1]))
+        r2 = jnp.zeros((npad2 // pg._K, pg._K), jnp.float32) \
+            .at[:, 0].set(rg).reshape(S, seg_len)
+        m3 = jnp.stack([jnp.pad(m1[g][0], (0, npad2 - npad)).reshape(
+            S, seg_len) for g in range(len(m1))])
+        return pg._jacobi_carries(m3, r2, scal, S, seg_len, TT, True)
+
     rng = np.random.default_rng(3)
     n = 9 * 16384
     m = np.zeros(n, np.float32)
@@ -213,26 +226,26 @@ def test_jacobi_convergence_flag_and_fallback():
     scal = jnp.asarray([[1 / 220.5, 1 / 2205.0]], jnp.float32)
     m1 = (jnp.asarray(m)[None],)
     resets = jnp.zeros((1, n // pg._K), jnp.float32)
-    outs, ok = pg._jacobi_try(1, m1, resets, scal, True)
-    assert ok.all()
+    _, ok = carries(m1, resets, scal)
+    assert np.asarray(ok).all()
+    outs = pg._gain_engine(1, m1, resets, scal, True)
     ref = np.asarray(pg._gain_scan(jnp.asarray(m)[:, None], scal))[:, 0]
     np.testing.assert_array_equal(np.asarray(outs[0]), ref)
 
     # translation maps: the exactness front advances one segment/sweep, so
     # with S(=32) segments > _RMAX(24) sweeps the carry vector cannot
-    # stabilize -> converged False and the public API falls back to the
-    # exact sequential path
+    # stabilize -> converged False and the engine's on-device lax.cond
+    # selects the exact sequential two-pass path
     n2 = 32 * 16384
     resets2 = jnp.zeros((1, n2 // pg._K), jnp.float32)
     m1 = (jnp.full((1, n2), 10.0, jnp.float32),)
-    outs, ok = pg._jacobi_try(1, m1, resets2, jnp.asarray(
-        [[1e-9, 1 / 2205.0]], jnp.float32), True)
-    assert not ok.any()
+    scal2 = jnp.asarray([[1e-9, 1 / 2205.0]], jnp.float32)
+    _, ok = carries(m1, resets2, scal2)
+    assert not np.asarray(ok).any()
     got = pg.pydub_gain_multi([jnp.full(n2, 10.0, jnp.float32)], 1e9,
                               2205.0, interpret=True)
     ref = np.asarray(pg._gain_scan(jnp.full((n2, 1), 10.0, jnp.float32),
-                                   jnp.asarray([[1e-9, 1 / 2205.0]],
-                                               jnp.float32)))[:, 0]
+                                   scal2))[:, 0]
     np.testing.assert_array_equal(np.asarray(got[0]), ref)
 
 

@@ -57,9 +57,25 @@ def master_file(input_file: str, output_file: str,
     Returns an info dict: sample_rate, n_samples, loudness stats (when
     normalization ran), output path.
     """
+    from ame_tpu.io import read_audio
+
+    status_callback("Loading audio into device memory...")
+    audio, sr = read_audio(input_file)
+    return master_array(audio, sr, output_file, settings,
+                        status_callback, progress_callback)
+
+
+def master_array(audio: np.ndarray, sr: int, output_file: str,
+                 settings: MasterSettings | Mapping[str, Any] | None = None,
+                 status_callback: Callable[[str], None] = _noop,
+                 progress_callback: Callable[[int, int], None] = _noop
+                 ) -> dict:
+    """Master already-decoded audio [N, C] float32 (the fleet runner's
+    entry — its native loader prefetch-decodes upcoming tracks while the
+    device masters this one)."""
     import jax.numpy as jnp
     from ame_tpu.graph.chain import master_graph
-    from ame_tpu.io import force_stereo, read_audio, write_audio
+    from ame_tpu.io import force_stereo, write_audio
     from ame_tpu.ops import quantize
 
     if settings is None:
@@ -70,8 +86,6 @@ def master_file(input_file: str, output_file: str,
     from ame_tpu.utils.telemetry import log_memory_usage
 
     log_memory_usage("Pipeline Start")
-    status_callback("Loading audio into device memory...")
-    audio, sr = read_audio(input_file)
     log_memory_usage("After Decode")
 
     # engine:190-191 conditioning: force stereo; compat mode also forces the

@@ -50,7 +50,8 @@ def run_fleet(input_dir: str, output_dir: str, settings: dict,
               status_callback=lambda m: None) -> dict:
     """Master every audio file under input_dir into output_dir, resuming
     from the manifest. Returns summary counts."""
-    from ame_tpu.api import master_file
+    from ame_tpu.api import master_array
+    from ame_tpu.io.loader import PrefetchLoader
 
     os.makedirs(output_dir, exist_ok=True)
     manifest = Manifest(manifest_path
@@ -59,24 +60,29 @@ def run_fleet(input_dir: str, output_dir: str, settings: dict,
     tracks = sorted(
         f for f in os.listdir(input_dir)
         if os.path.splitext(f)[1].lower() in AUDIO_EXTS)
-    done = skipped = failed = 0
-    for name in tracks:
-        if manifest.status(name) == "done":
-            skipped += 1
-            continue
-        src = os.path.join(input_dir, name)
-        dst = os.path.join(
-            output_dir, os.path.splitext(name)[0] + "_mastered.wav")
-        status_callback(f"Mastering {name}...")
-        try:
-            info = master_file(src, dst, dict(settings))
-            manifest.mark(name, "done", output=dst,
-                          output_i=info.get("output_i"))
-            done += 1
-        except Exception as e:
-            log.exception("fleet: %s failed", name)
-            manifest.mark(name, "error", error=str(e))
-            failed += 1
+    todo = [n for n in tracks if manifest.status(n) != "done"]
+    skipped = len(tracks) - len(todo)
+    done = failed = 0
+    # the native loader decodes upcoming tracks on C++ worker threads
+    # while the device masters the current one (io/loader.py)
+    with PrefetchLoader([os.path.join(input_dir, n) for n in todo],
+                        workers=int(os.environ.get(
+                            "AME_TPU_FLEET_DECODERS", 4))) as loader:
+        for name, (src, audio, sr) in zip(todo, loader):
+            dst = os.path.join(
+                output_dir, os.path.splitext(name)[0] + "_mastered.wav")
+            status_callback(f"Mastering {name}...")
+            try:
+                if audio is None:   # decode failed; sr holds the exception
+                    raise sr
+                info = master_array(audio, sr, dst, dict(settings))
+                manifest.mark(name, "done", output=dst,
+                              output_i=info.get("output_i"))
+                done += 1
+            except Exception as e:
+                log.exception("fleet: %s failed", name)
+                manifest.mark(name, "error", error=str(e))
+                failed += 1
     summary = {"total": len(tracks), "done": done, "resumed_skips": skipped,
                "failed": failed, "manifest": manifest.path}
     status_callback(f"Fleet complete: {summary}")

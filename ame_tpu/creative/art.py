@@ -58,8 +58,19 @@ def _try_register_vertex() -> None:
     register_provider("vertex", vertex_provider, activate=False)
 
 
+def _try_register_procedural() -> None:
+    """Opt-in local generative provider (AME_TPU_ART_PROVIDER=procedural —
+    see creative/procedural.py). Kept opt-in so the default degrade
+    behavior matches the reference (no credentials -> no art)."""
+    if os.environ.get("AME_TPU_ART_PROVIDER", "").lower() == "procedural" \
+            and "procedural" not in _providers:
+        from ame_tpu.creative import procedural
+        procedural.activate()
+
+
 def available() -> bool:
     _try_register_vertex()
+    _try_register_procedural()
     return _active is not None
 
 

@@ -2,6 +2,7 @@
 
 import random
 
+import numpy as np
 import pytest
 
 from ame_tpu.creative import art
@@ -61,3 +62,43 @@ def test_provider_registry(tmp_path):
     # cleanup: deactivate fake provider for other tests
     art._providers.pop("fake")
     art._active = None
+
+
+class TestProceduralArt:
+    def test_render_deterministic_and_mood_aware(self, tmp_path):
+        from PIL import Image
+        from ame_tpu.creative import procedural
+
+        p_happy = ("An award-winning piece of vibrant, euphoric digital "
+                   "artwork, joyful energy")
+        p_sad = ("An award-winning piece of melancholic, somber artwork, "
+                 "rainy window")
+        a1 = procedural.render(p_happy, str(tmp_path / "a1.png"))
+        a2 = procedural.render(p_happy, str(tmp_path / "a2.png"))
+        b = procedural.render(p_sad, str(tmp_path / "b.png"))
+        i1 = np.asarray(Image.open(a1))
+        i2 = np.asarray(Image.open(a2))
+        ib = np.asarray(Image.open(b))
+        assert i1.shape == (procedural.SIZE, procedural.SIZE, 3)
+        np.testing.assert_array_equal(i1, i2)       # deterministic
+        assert np.abs(i1.astype(int) - ib.astype(int)).mean() > 10
+        # palette check: happy art warmer (more red+yellow) than sad
+        assert i1[..., 0].mean() > ib[..., 0].mean()
+
+    def test_opt_in_activation(self, tmp_path, monkeypatch):
+        from ame_tpu.creative import art as art_mod
+        monkeypatch.setattr(art_mod, "_providers", {})
+        monkeypatch.setattr(art_mod, "_active", None)
+        monkeypatch.delenv("AME_TPU_ART_PROVIDER", raising=False)
+        art_mod.available()
+        # default: procedural NOT registered (reference degrade contract —
+        # only the cloud provider, which needs credentials at call time)
+        assert "procedural" not in art_mod._providers
+        monkeypatch.setenv("AME_TPU_ART_PROVIDER", "procedural")
+        assert art_mod.available()
+        assert art_mod._active == "procedural"
+        out = art_mod.generate_cover_art(
+            "serene tranquil pastel artwork", str(tmp_path / "m.wav"))
+        assert out.endswith("m_art.png")
+        import os
+        assert os.path.getsize(out) > 10000

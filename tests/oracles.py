@@ -251,3 +251,86 @@ def alimiter_gain(peak, sample_rate, limit=0.98, attack_ms=5.0,
                 rdelta = (1.0 - ext[m]) / Rs
         gain[m] = att
     return gain
+
+
+# --- loudnorm dynamic-mode controller (oracle for ops/loudnorm.py) ----------
+
+def loudnorm_dynamic_gains(x, sample_rate, target_i=-14.0, target_tp=-1.5,
+                           target_lra=11.0, measured_i=0.0,
+                           measured_thresh=-70.0):
+    """Sequential float64 reference of the dynamic-mode controller spec
+    implemented (in parallel form) by ops/loudnorm._dynamic_jit: returns
+    (g0, g1) per-frame gain pairs. Frame-level loop, no vectorized
+    shortcuts — used to validate the parallel formulation."""
+    from ame_tpu.dsp import design
+
+    L = int(round(0.100 * sample_rate))
+    n = x.shape[0]
+    F = -(-n // L)
+    xp = np.pad(np.asarray(x, np.float64), ((0, F * L - n), (0, 0)))
+    sos = design.k_weighting_sos(sample_rate)
+    yk = sosfilt(sos, xp, axis=0)
+    M0 = np.sum((yk * yk).reshape(F, -1), axis=1)
+    peak = np.max(np.abs(xp).reshape(F, -1), axis=1)
+
+    def lufs(p):
+        return -0.691 + 10 * np.log10(max(p, 1e-30))
+
+    st = np.full(F, -1e9)
+    for f in range(29, F):
+        st[f] = lufs(M0[f - 29:f + 1].sum() / (30 * L))
+    blk = np.full(F, -1e9)
+    for f in range(3, F):
+        blk[f] = lufs(M0[f - 3:f + 1].sum() / (4 * L))
+
+    # histogram-based running gated integrated loudness over blocks <= k-1
+    centers = -70.0 + (np.arange(750) + 0.5) * 0.1
+    powers = 10.0 ** ((centers + 0.691) / 10.0)
+    hist = np.zeros(750)
+
+    def glob_from_hist():
+        cnt = hist.sum()
+        if cnt == 0:
+            return -1e9
+        rel = lufs((hist * powers).sum() / cnt) - 10.0
+        m = hist * (centers > rel)
+        if m.sum() == 0:
+            return -1e9
+        return lufs((m * powers).sum() / m.sum())
+
+    st0 = st[29]
+    quiet = st0 < measured_thresh
+    env0 = 0.0 if st0 <= -70.0 else (
+        target_i - measured_i if quiet else target_i - st0)
+    delta0 = 10.0 ** (env0 / 20.0)
+    deltas = [delta0] * 30
+    prev = delta0
+    # delta[k] consults blocks ending at frames <= k-1
+    for j in range(min(29, F)):
+        if blk[j] > -70.0:
+            hist[int(np.clip((blk[j] + 70.0) / 0.1, 0, 749))] += 1
+    FE = F + 30
+    for k in range(30, FE):
+        ks = min(k, F - 1)
+        if k - 1 < F and blk[k - 1] > -70.0:
+            idx = int(np.clip((blk[k - 1] + 70.0) / 0.1, 0, 749))
+            hist[idx] += 1
+        stk = st[ks]
+        if stk < measured_thresh:
+            deltas.append(prev)
+        else:
+            env_g = np.clip(stk - glob_from_hist(),
+                            -target_lra / 2, target_lra / 2)
+            d = 10.0 ** ((env_g + target_i - stk) / 20.0)
+            deltas.append(d)
+            prev = d
+    deltas = np.asarray(deltas)
+
+    w = np.exp(-((np.arange(21) - 10) ** 2) / (2 * 3.5 ** 2))
+    w /= w.sum()
+    gext = np.array([np.dot(w, deltas[f:f + 21]) for f in range(F + 1)])
+    ceil_lin = 10.0 ** (target_tp / 20.0)
+    g0, g1 = gext[:F], gext[1:]
+    cap = np.minimum(1.0, ceil_lin / np.maximum(
+        peak * np.maximum(g0, g1), 1e-9))
+    return g0 * cap, g1 * cap

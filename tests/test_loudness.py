@@ -256,3 +256,33 @@ def test_pass1_stats_contract():
         assert k in s, k
     assert abs(float(s["target_offset"])
                - (-14.0 - float(s["output_i"]))) < 1e-5
+
+
+def test_dynamic_controller_matches_sequential_oracle():
+    """The fully-parallel dynamic controller (cumulative histogram +
+    hold-fill gather + gaussian correlation) must reproduce the sequential
+    frame-by-frame float64 reference of the same spec."""
+    from ame_tpu.ops.loudnorm import dynamic_loudnorm
+    rng = np.random.default_rng(21)
+    n = SR * 12
+    x = rng.normal(size=(n, 2)) * 0.03
+    x[SR * 4: SR * 7] *= 7.0          # loud middle section
+    x[SR * 9: SR * 10] *= 0.05        # near-silent dip (hold branch)
+    x = np.clip(x, -1, 1).astype(np.float32)
+
+    y, _ = dynamic_loudnorm(jnp.asarray(x), SR, -14.0, -1.5, 11.0)
+    g0, g1 = oracles.loudnorm_dynamic_gains(x, SR, -14.0, -1.5, 11.0)
+    # recover the applied per-frame start gain from y/x at frame starts
+    L = SR // 10
+    F = n // L
+    y = np.asarray(y, np.float64)
+    num = (y[: F * L] * x[: F * L]).reshape(F, -1).sum(axis=1)
+    den = (x[: F * L] * x[: F * L]).reshape(F, -1).sum(axis=1)
+    g_eff = num / np.maximum(den, 1e-12)       # LS fit of the frame gain
+    g_oracle = (g0 + g1) / 2.0                 # mean of the interp ramp
+    err = np.abs(g_eff[:F] - g_oracle[:F]) / np.maximum(g_oracle[:F], 1e-9)
+    # f32-vs-f64 measurement differences can flip a 0.1 LU histogram bin;
+    # demand tight agreement almost everywhere and sane bounds at worst
+    assert np.median(err) < 2e-3, np.median(err)
+    assert np.quantile(err, 0.95) < 2e-2, np.quantile(err, 0.95)
+    assert err.max() < 0.12, err.max()

@@ -32,6 +32,12 @@ def _add_master_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--lufs", type=float, default=-14.0)
     p.add_argument("--no-lufs", action="store_true",
                    help="skip loudness normalization")
+    p.add_argument("--tp", type=float, default=-1.5, dest="target_tp",
+                   help="loudnorm true-peak ceiling in dBTP "
+                        "(reference: -1.5)")
+    p.add_argument("--lra", type=float, default=11.0, dest="target_lra",
+                   help="loudnorm target loudness range in LU "
+                        "(reference: 11)")
     p.add_argument("--multiband", action="store_true")
     p.add_argument("--low-thresh", type=float, default=-25.0)
     p.add_argument("--low-ratio", type=float, default=6.0)
@@ -83,6 +89,8 @@ def _settings_from_args(args) -> dict:
         "treble_boost": args.treble_boost,
         "width": args.width,
         "lufs": None if args.no_lufs else args.lufs,
+        "target_tp": args.target_tp,
+        "target_lra": args.target_lra,
         "multiband": args.multiband,
         "low_thresh": args.low_thresh, "low_ratio": args.low_ratio,
         "mid_thresh": args.mid_thresh, "mid_ratio": args.mid_ratio,

@@ -63,6 +63,10 @@ class MasterSettings:
     treble_boost: float = 0.0       # dB, high shelf 8 kHz
     width: float = 1.0              # stereo width [0..2]
     lufs: float | None = -14.0      # target integrated LUFS; None => skip
+    # loudnorm pass-2 targets (the reference hardcodes TP=-1.5:LRA=11,
+    # engine:229; exposed as dynamic parameters here)
+    target_tp: float = LOUDNORM_TP_DB
+    target_lra: float = LOUDNORM_LRA
     low_thresh: float = -25.0       # multiband compressor params
     low_ratio: float = 6.0
     mid_thresh: float = -20.0

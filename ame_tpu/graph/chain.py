@@ -49,6 +49,8 @@ def params_from_settings(s) -> dict:
         "treble": jnp.float32(s.treble_boost),
         "width": jnp.float32(s.width),
         "lufs": jnp.float32(s.lufs if s.lufs is not None else -14.0),
+        "tp": jnp.float32(s.target_tp),
+        "lra": jnp.float32(s.target_lra),
         "threshs": jnp.asarray(
             [s.low_thresh, s.mid_thresh, s.high_thresh], jnp.float32),
         "ratios": jnp.asarray(
@@ -90,21 +92,22 @@ def _stage_multiband_compat(x, threshs, ratios, sample_rate, exact,
                                exact=exact, chunk_len=chunk_len)
 
 
-@partial(jax.jit, static_argnums=(3, 4))
-def _stage_normalize(x, target, n_valid, sample_rate, requantize):
+@partial(jax.jit, static_argnums=(5, 6))
+def _stage_normalize(x, target, tp, lra, n_valid, sample_rate, requantize):
     # compat (requantize=True) runs the FAITHFUL ffmpeg two-pass flow
     # (engine:227-246): pass-1 measurement + dynamic sim for target_offset,
     # then the gated linear gain (offset + I - input_i) or the
     # frame-adaptive dynamic engine (ops/loudnorm.py). Quality applies the
     # clean unconditional gain and lets the limiter govern the ceiling.
+    # tp/lra are the loudnorm pass-2 targets (reference: -1.5 / 11).
     if requantize:
         from ame_tpu.ops.loudnorm import loudnorm_two_pass
-        y, info = loudnorm_two_pass(x, sample_rate, target,
-                                    C.LOUDNORM_TP_DB, C.LOUDNORM_LRA,
+        y, info = loudnorm_two_pass(x, sample_rate, target, tp, lra,
                                     n_valid=n_valid)
         y = quantize.int16_roundtrip(y)  # ffmpeg pass-2 writes pcm_s16le
     else:
         y, info = normalize_two_pass(x, sample_rate, target,
+                                     target_tp_db=tp, target_lra=lra,
                                      n_valid=n_valid)
     return y, info
 
@@ -153,8 +156,8 @@ def _master_compat(x, sample_rate, p, *, analog_on, width_on, multiband_on,
         x = _stage_multiband_compat(x, p["threshs"], p["ratios"],
                                     sample_rate, comp_exact, chunk_len)
     if lufs_on:  # engine:216-220
-        x, loud_info = _stage_normalize(x, p["lufs"], n_valid, sample_rate,
-                                        True)
+        x, loud_info = _stage_normalize(x, p["lufs"], p["tp"], p["lra"],
+                                        n_valid, sample_rate, True)
         info.update(loud_info)
     # engine:223 — alimiter, always (quirk Q8), with ffmpeg-contract ramps
     # and the default auto-level 1/limit output normalization (reference
@@ -174,8 +177,8 @@ def _master_quality(x, sample_rate, p, *, analog_on, width_on, multiband_on,
         x = _stage_multiband_quality(x, p["threshs"], p["ratios"],
                                      sample_rate)
     if lufs_on:
-        x, loud_info = _stage_normalize(x, p["lufs"], n_valid, sample_rate,
-                                        False)
+        x, loud_info = _stage_normalize(x, p["lufs"], p["tp"], p["lra"],
+                                        n_valid, sample_rate, False)
         info.update(loud_info)
     x = lookahead_limiter(x, sample_rate, C.LIMITER_CEILING,
                           C.LIMITER_ATTACK_MS, C.LIMITER_RELEASE_MS)

@@ -212,3 +212,21 @@ def test_settings_dict_contract():
     y, _ = master_graph(jnp.asarray(x), SR,
                         {"bogus_key": 123, "bass_boost": 1.0, "lufs": None})
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_loudnorm_targets_are_settings():
+    """target_tp / target_lra are dynamic settings: a tightened LRA target
+    pushes the same program from linear to dynamic mode without
+    recompiling the graph structure."""
+    x = make_test_signal("noise", SR * 8, SR, seed=6) * 0.05
+    x[SR * 2: SR * 4] *= 2.0   # a few LU of range, below the default 11
+    xq = quantize.int16_roundtrip(jnp.asarray(np.clip(x, -1, 1)))
+    s1 = MasterSettings(lufs=-14.0, mode="compat")
+    _, info1 = master_graph(xq, SR, s1)
+    assert float(info1["input_lra"]) > 1.0
+    assert float(info1["linear_mode"]) == 1.0
+    s2 = MasterSettings(lufs=-14.0, mode="compat",
+                        target_lra=float(info1["input_lra"]) - 0.5)
+    _, info2 = master_graph(xq, SR, s2)
+    assert float(info2["linear_mode"]) == 0.0
+    assert s1.structure_key() == s2.structure_key()  # no re-specialization

@@ -161,6 +161,13 @@ def main(argv=None) -> int:
                     help="also fit the 6 multiband compressor parameters")
     pu.add_argument("--multi-resolution", action="store_true",
                     help="spectral loss over multiple FFT windows")
+    pu.add_argument("--stereo-field", type=float, default=0.0,
+                    metavar="W",
+                    help="weight of the per-band side/mid stereo-field "
+                         "term (makes width identifiable)")
+    pu.add_argument("--tp-limit", type=float, default=None, metavar="DBTP",
+                    help="penalize fits whose output true peak exceeds "
+                         "this ceiling")
     pu.add_argument("--lufs", type=float, default=-14.0)
     pu.add_argument("--no-lufs", action="store_true")
 
@@ -231,6 +238,12 @@ def main(argv=None) -> int:
                               steps=args.steps, lr=args.lr,
                               optimize_multiband=args.multiband,
                               multi_resolution=args.multi_resolution,
+                              stereo_weight=args.stereo_field,
+                              true_peak_weight=(
+                                  0.0 if args.tp_limit is None else 1.0),
+                              tp_target=(args.tp_limit
+                                         if args.tp_limit is not None
+                                         else -1.0),
                               verbose=True)
         print(json.dumps(fitted))
         if args.output:

@@ -15,6 +15,13 @@ Perceptual objective (opt-in pieces):
   * band-dynamics loss — the per-band standard deviation of framed RMS
     in dB (the spectral profile is blind to dynamics; this term is what
     makes multiband compressor thresholds/ratios identifiable);
+  * stereo-field loss — the per-band side/mid energy ratio in dB. The
+    spectral profile is computed on the mono mixdown, which IS the mid
+    signal, so without this term the width parameter has no gradient
+    signal at all;
+  * true-peak penalty — hinge on the output's 4x-oversampled true peak
+    above a ceiling, so fits stay master-legal instead of trading EQ
+    boost against downstream limiting;
   * multiband parameter optimization — the quality multiband compressor
     (graph/multiband.py) is itself differentiable in its thresholds and
     ratios (detector -> release scan -> attack smoother are all scans), so
@@ -74,6 +81,21 @@ def _band_dynamics(x: jax.Array, sample_rate: float) -> jax.Array:
     return jnp.stack(outs)
 
 
+def _stereo_field(x: jax.Array, sample_rate: float) -> jax.Array:
+    """Per-band side/mid energy ratio in dB [3] — the width signature."""
+    from ame_tpu.graph.multiband import quality_band_split
+    mid = (x[:, :1] + x[:, 1:]) * 0.5
+    side = (x[:, :1] - x[:, 1:]) * 0.5
+    bm = quality_band_split(mid, float(sample_rate))
+    bs = quality_band_split(side, float(sample_rate))
+    outs = []
+    for m, s in zip(bm, bs):
+        em = jnp.mean(m * m) + 1e-10
+        es = jnp.mean(s * s) + 1e-10
+        outs.append(10.0 * jnp.log10(es / em))
+    return jnp.stack(outs)
+
+
 def _chain(x, theta, sample_rate):
     """Differentiable sub-chain: analog character + quality EQ + width,
     plus quality multiband compression when theta carries band params.
@@ -117,14 +139,17 @@ def _theta_to_settings(theta) -> dict:
     return out
 
 
-def _perceptual_targets(target_track, sample_rate, resolutions, dyn_w):
+def _perceptual_targets(target_track, sample_rate, resolutions, dyn_w,
+                        stereo_w):
     """Precompute target statistics once: log-mel profile per FFT
-    resolution + the band-dynamics signature."""
+    resolution + the band-dynamics and stereo-field signatures."""
     t = jnp.asarray(target_track, jnp.float32)
     profs = tuple(_logmel_profile(t, sample_rate, n) for n in resolutions)
     dyn = (_band_dynamics(t, sample_rate) if dyn_w > 0.0
            else jnp.zeros(3, jnp.float32))
-    return profs, dyn
+    field = (_stereo_field(t, sample_rate) if stereo_w > 0.0
+             else jnp.zeros(3, jnp.float32))
+    return profs, dyn, field
 
 
 @partial(jax.jit, static_argnums=(3,))
@@ -134,9 +159,10 @@ def _loss_fn(theta, x, target_profile, sample_rate):
     return jnp.mean((prof - target_profile) ** 2)
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6))
-def _perceptual_loss(theta, x, target_profs, target_dyn, sample_rate,
-                     resolutions, dyn_w):
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10))
+def _perceptual_loss(theta, x, target_profs, target_dyn, target_field,
+                     sample_rate, resolutions, dyn_w, stereo_w, tp_w,
+                     tp_target):
     y = _chain(x, theta, sample_rate)
     loss = jnp.float32(0.0)
     for prof_t, n_fft in zip(target_profs, resolutions):
@@ -145,6 +171,13 @@ def _perceptual_loss(theta, x, target_profs, target_dyn, sample_rate,
     if dyn_w > 0.0:
         dyn = _band_dynamics(y, sample_rate)
         loss = loss + dyn_w * jnp.mean((dyn - target_dyn) ** 2)
+    if stereo_w > 0.0:
+        field = _stereo_field(y, sample_rate)
+        loss = loss + stereo_w * jnp.mean((field - target_field) ** 2)
+    if tp_w > 0.0:
+        from ame_tpu.ops.loudness import true_peak_db
+        over = jax.nn.relu(true_peak_db(y) - tp_target)
+        loss = loss + tp_w * over * over
     return loss
 
 
@@ -155,6 +188,9 @@ def fit_settings(x: jax.Array, sample_rate: float,
                  optimize_multiband: bool = False,
                  multi_resolution: bool = False,
                  dynamics_weight: float | None = None,
+                 stereo_weight: float = 0.0,
+                 true_peak_weight: float = 0.0,
+                 tp_target: float = -1.0,
                  verbose: bool = False) -> dict:
     """Fit EQ/width/character so ``x`` spectrally matches ``target``.
 
@@ -171,6 +207,10 @@ def fit_settings(x: jax.Array, sample_rate: float,
         of the single default resolution.
       dynamics_weight: weight of the band-dynamics term (default 1.0 when
         optimize_multiband else 0.0). Requires target to be a track.
+      stereo_weight: weight of the per-band side/mid stereo-field term
+        (gives the width parameter its gradient signal).
+      true_peak_weight / tp_target: hinge penalty on the output's true
+        peak above ``tp_target`` dBTP (keeps fits master-legal).
 
     Returns a reference-schema settings dict (multiband keys included when
     optimized; add lufs yourself).
@@ -178,7 +218,9 @@ def fit_settings(x: jax.Array, sample_rate: float,
     x = jnp.asarray(x, jnp.float32)
     if dynamics_weight is None:
         dynamics_weight = 1.0 if optimize_multiband else 0.0
-    perceptual = optimize_multiband or multi_resolution or dynamics_weight > 0
+    perceptual = (optimize_multiband or multi_resolution
+                  or dynamics_weight > 0 or stereo_weight > 0
+                  or true_peak_weight > 0)
     if perceptual and target_is_profile:
         raise ValueError("perceptual objectives need a target track, "
                          "not a precomputed profile")
@@ -197,13 +239,16 @@ def fit_settings(x: jax.Array, sample_rate: float,
 
     if perceptual:
         resolutions = MULTI_RES_FFTS if multi_resolution else (N_FFT,)
-        target_profs, target_dyn = _perceptual_targets(
-            target, float(sample_rate), resolutions, dynamics_weight)
-        loss_args = (x, target_profs, target_dyn, float(sample_rate),
-                     resolutions, float(dynamics_weight))
+        target_profs, target_dyn, target_field = _perceptual_targets(
+            target, float(sample_rate), resolutions, dynamics_weight,
+            stereo_weight)
+        loss_args = (x, target_profs, target_dyn, target_field,
+                     float(sample_rate), resolutions,
+                     float(dynamics_weight), float(stereo_weight),
+                     float(true_peak_weight), float(tp_target))
         loss_fn = _perceptual_loss
         grad_fn = jax.jit(jax.grad(_perceptual_loss),
-                          static_argnums=(4, 5, 6))
+                          static_argnums=(5, 6, 7, 8, 9, 10))
     else:
         if target_is_profile:
             target_profile = jnp.asarray(target, jnp.float32)

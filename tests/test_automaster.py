@@ -80,3 +80,49 @@ def test_fit_profile_target_rejects_perceptual():
     with _pytest.raises(ValueError):
         automaster.fit_settings(x, SR, prof, target_is_profile=True,
                                 optimize_multiband=True)
+
+
+def test_fit_stereo_field_recovers_width():
+    """Width is INVISIBLE to the mel loss (the mono mixdown is the mid
+    signal); with the stereo-field term the fit recovers a widened
+    target."""
+    rng = np.random.default_rng(8)
+    base = (rng.normal(size=(SR // 2, 2)) * 0.15).astype(np.float32)
+    base[:, 1] = 0.6 * base[:, 1] + 0.4 * base[:, 0]   # correlated stereo
+    x = jnp.asarray(base)
+    from ame_tpu.ops import stereo as st_ops
+    target = st_ops.stereo_width_quality(x, jnp.float32(1.7))
+
+    blind = automaster.fit_settings(x, SR, target, steps=40, lr=0.1)
+    aware = automaster.fit_settings(x, SR, target, steps=40, lr=0.1,
+                                    stereo_weight=1.0)
+    assert abs(blind["width"] - 1.0) < 0.15, blind    # no gradient signal
+    assert aware["width"] > 1.35, aware
+
+
+def test_fit_true_peak_penalty_caps_boost():
+    """A hot source + hinge penalty: the fit backs off gains that would
+    push the true peak over the ceiling."""
+    t = np.arange(SR // 2) / SR
+    x = (0.85 * np.sin(2 * np.pi * 180.0 * t)).astype(np.float32)
+    x = jnp.asarray(np.stack([x, x], 1))
+    from ame_tpu.ops import eq as eq_ops
+    target = eq_ops.apply_eq_quality(x, SR, 5.0, 0.0, 0.0, 0.0)
+
+    free = automaster.fit_settings(x, SR, target, steps=40, lr=0.1,
+                                   dynamics_weight=0.0)
+    capped = automaster.fit_settings(x, SR, target, steps=40, lr=0.1,
+                                     dynamics_weight=0.0,
+                                     true_peak_weight=5.0, tp_target=-1.0)
+    from ame_tpu.models.automaster import _chain
+    import jax
+    def out_tp(settings):
+        th = {"analog_raw": jnp.float32(-20.0), "width_raw": jnp.float32(0.0),
+              "eq_raw": jnp.arctanh(jnp.clip(jnp.asarray(
+                  [settings["bass_boost"], -settings["mid_cut"],
+                   settings["presence_boost"], settings["treble_boost"]],
+                  jnp.float32) / 6.0, -0.999, 0.999))}
+        from ame_tpu.ops.loudness import true_peak_db
+        return float(true_peak_db(_chain(x, th, SR)))
+    assert out_tp(free) > -0.5           # unconstrained fit runs hot
+    assert out_tp(capped) < out_tp(free) - 0.5

@@ -342,6 +342,29 @@ class Handler(BaseHTTPRequestHandler):
                 self._json(200, {"url": url, "gcs_uri": uri})
             except Exception as e:
                 self._json(400, {"error": str(e)})
+        elif path == "/measure":
+            # synchronous BS.1770 / loudnorm pass-1 report for an uploaded
+            # blob: {"gcs_uri": ...} -> the full JSON stats analog
+            # (input_*/output_*/target_offset — cli.py `measure` over HTTP)
+            try:
+                req = json.loads(self._read_body() or b"{}")
+                input_path = self.store.resolve_input(req.get("gcs_uri", ""))
+                if input_path is None:
+                    self._json(404, {"error": "no upload for that uri"})
+                    return
+                import jax.numpy as jnp
+                from ame_tpu.io import force_stereo, read_audio
+                from ame_tpu.ops.loudnorm import loudnorm_pass1
+                audio, sr = read_audio(input_path)
+                target = float(req.get("target_i", -14.0))
+                stats = loudnorm_pass1(jnp.asarray(force_stereo(audio)), sr,
+                                       target_i=target)
+                self._json(200, {k: round(float(v), 2)
+                                 for k, v in stats.items()}
+                           | {"sample_rate": sr, "target_i": target})
+            except Exception as e:
+                log.exception("measure failed")
+                self._json(400, {"error": str(e)})
         elif path == "/start-processing":
             try:
                 req = json.loads(self._read_body() or b"{}")

@@ -432,3 +432,25 @@ def test_gcs_backend_paths_with_stub(tmp_path):
     assert store.gc_expired(now=now) == 1
     assert store.gcs.deleted == [uri]
     assert not os.path.exists(local)
+
+
+def test_measure_endpoint(server, tmp_path):
+    """POST /measure returns the loudnorm pass-1 JSON analog for an
+    uploaded blob."""
+    x = make_test_signal("noise", 44100 * 4, 44100) * 0.1
+    p = str(tmp_path / "m.wav")
+    write_wav(p, x, 44100)
+    r = _post(server, "/generate-upload-url", {"filename": "m.wav"})
+    with open(p, "rb") as f:
+        req = urllib.request.Request(server + r["url"], f.read(),
+                                     method="PUT")
+        urllib.request.urlopen(req).read()
+    stats = _post(server, "/measure", {"gcs_uri": r["gcs_uri"]})
+    for k in ("input_i", "input_tp", "input_lra", "input_thresh",
+              "output_i", "target_offset"):
+        assert k in stats, k
+    assert -40 < stats["input_i"] < 0
+    assert stats["sample_rate"] == 44100
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/measure", {"gcs_uri": "local://nope.wav"})
+    assert e.value.code == 404

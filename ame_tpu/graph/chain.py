@@ -27,6 +27,7 @@ settings re-runs, never re-compiles.
 
 from __future__ import annotations
 
+import functools as _functools
 from functools import partial
 
 import jax
@@ -40,7 +41,23 @@ from ame_tpu.ops.loudness import normalize_two_pass
 
 
 def params_from_settings(s) -> dict:
-    """Dynamic (traced) parameters of the graph, as a flat dict of f32."""
+    """Dynamic (traced) parameters of the graph, as a flat dict of f32
+    device scalars. Cached per (frozen, hashable) MasterSettings: repeated
+    masters with the same settings — the serving/fleet common case — reuse
+    the device-resident params instead of re-uploading ~12 scalars per
+    call (measurable over a high-RTT link)."""
+    try:
+        return dict(_params_cached(s))
+    except TypeError:   # unhashable (e.g. a raw dict passed by tests)
+        return _params_build(s)
+
+
+@_functools.lru_cache(maxsize=256)
+def _params_cached(s):
+    return _params_build(s)
+
+
+def _params_build(s) -> dict:
     return {
         "analog": jnp.float32(s.analog_character),
         "bass": jnp.float32(s.bass_boost),

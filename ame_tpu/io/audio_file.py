@@ -1,10 +1,14 @@
 """Format dispatch: one entry point per direction, like the reference's
 "AudioSegment.from_file / export" surface but without subprocesses.
 
-Supported: WAV, AIFF (pure numpy), MP3 (native shim), FLAC (self-contained
-bitstream decoder in the native shim — io/flac.py, amecodec.cpp).
-Input conditioning reproduces engine:190-191: mono -> stereo duplication and
-16-bit-equivalent float semantics are applied by the pipeline, not here.
+First-class (self-contained in-repo decoders): WAV, AIFF (pure numpy),
+MP3 (native shim), FLAC (self-contained bitstream decoder — io/flac.py).
+Everything else (ogg/vorbis, opus, m4a/aac, alac, wma, wavpack, ...) routes
+through the in-process FFmpeg shim (io/av.py, io/native/ameav.cpp) —
+the reference's "any input ffmpeg handles" coverage (engine:190) without
+subprocesses. Input conditioning reproduces engine:190-191: mono -> stereo
+duplication and 16-bit-equivalent float semantics are applied by the
+pipeline, not here.
 """
 
 from __future__ import annotations
@@ -16,6 +20,7 @@ import numpy as np
 from ame_tpu.io import wav as _wav
 from ame_tpu.io import codecs as _codecs
 from ame_tpu.io import flac as _flac
+from ame_tpu.io import av as _av
 
 
 def force_stereo(audio: np.ndarray) -> np.ndarray:
@@ -40,6 +45,8 @@ def read_audio(path: str):
         return _codecs.decode_mp3(path)
     if ext == ".flac":
         return _flac.read_flac(path)
+    if ext in _av.DECODE_EXTENSIONS and _av.have_av():
+        return _av.decode(path)
     # fall back to sniffing WAV/AIFF magic
     with open(path, "rb") as f:
         magic = f.read(4)
@@ -49,6 +56,8 @@ def read_audio(path: str):
         return _wav.read_aiff(path)
     if magic[:3] == b"fLa" or magic == b"fLaC":
         return _flac.read_flac(path)
+    if _av.have_av():  # unknown extension/magic: let libavformat probe it
+        return _av.decode(path)
     raise ValueError(f"unsupported audio format: {path}")
 
 
@@ -59,4 +68,8 @@ def write_audio(path: str, audio: np.ndarray, sample_rate: int,
         return _wav.write_wav(path, audio, sample_rate, bits)
     if ext == ".mp3":
         return _codecs.encode_mp3(path, audio, sample_rate, vbr_quality=0)
+    if ext in (".aif", ".aiff"):
+        return _wav.write_aiff(path, audio, sample_rate, bits)
+    if ext in _av.ENCODE_EXTENSIONS and _av.have_av():
+        return _av.encode(path, audio, sample_rate)
     raise ValueError(f"unsupported output format: {path}")

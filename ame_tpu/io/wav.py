@@ -132,6 +132,53 @@ def _read_extended80(b: bytes) -> float:
     return sign * mant * 2.0 ** (exp - 16383 - 63)
 
 
+def _write_extended80(rate: float) -> bytes:
+    """Encode a positive sample rate as the AIFF 80-bit extended float."""
+    if rate <= 0:
+        return b"\x00" * 10
+    exp = 0
+    mant = float(rate)
+    while mant >= 2.0:
+        mant /= 2.0
+        exp += 1
+    while mant < 1.0:
+        mant *= 2.0
+        exp -= 1
+    return struct.pack(">HQ", exp + 16383, int(mant * (1 << 63)))
+
+
+def write_aiff(path: str, audio: np.ndarray, sample_rate: int,
+               bits: int = 16) -> None:
+    """audio: [N, C] float in [-1, 1]; PCM depths only (16/24)."""
+    audio = np.asarray(audio)
+    if audio.ndim == 1:
+        audio = audio[:, None]
+    n, c = audio.shape
+    if bits == 16:
+        payload = np.trunc(
+            np.clip(audio, -1.0, 1.0) * 32767.0).astype(">i2").tobytes()
+    elif bits == 24:
+        v = np.trunc(np.clip(audio, -1.0, 1.0) * 8388607.0).astype(np.int32)
+        b = np.empty((v.size, 3), np.uint8)
+        flat = v.reshape(-1)
+        b[:, 0] = (flat >> 16) & 0xFF
+        b[:, 1] = (flat >> 8) & 0xFF
+        b[:, 2] = flat & 0xFF
+        payload = b.tobytes()
+    else:
+        raise ValueError(f"unsupported AIFF write depth: {bits}")
+    comm = struct.pack(">HIH", c, n, bits) + _write_extended80(sample_rate)
+    ssnd = struct.pack(">II", 0, 0) + payload
+    chunks = b""
+    for cid, body in ((b"COMM", comm), (b"SSND", ssnd)):
+        chunks += cid + struct.pack(">I", len(body)) + body
+        if len(body) & 1:
+            chunks += b"\x00"
+    with open(path, "wb") as f:
+        f.write(b"FORM" + struct.pack(">I", 4 + len(chunks)) + b"AIFF")
+        f.write(chunks)
+
+
 def read_aiff(path: str):
     """Returns (audio [N, C] float32, sample_rate int)."""
     with open(path, "rb") as f:

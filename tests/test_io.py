@@ -95,4 +95,4 @@ def test_audio_file_dispatch(tmp_path):
     y, sr = read_audio(p)
     assert sr == 44100 and y.shape == x.shape
     with pytest.raises(ValueError):
-        write_audio(str(tmp_path / "x.ogg"), x, 44100)
+        write_audio(str(tmp_path / "x.xyz"), x, 44100)

@@ -113,7 +113,7 @@ def _stage_multiband_compat(x, threshs, ratios, sample_rate, exact,
 def _stage_normalize(x, target, tp, lra, n_valid, sample_rate, requantize):
     # compat (requantize=True) runs the FAITHFUL ffmpeg two-pass flow
     # (engine:227-246): pass-1 measurement + dynamic sim for target_offset,
-    # then the gated linear gain (offset + I - input_i) or the
+    # then the gated linear gain (target_I - measured_I) or the
     # frame-adaptive dynamic engine (ops/loudnorm.py). Quality applies the
     # clean unconditional gain and lets the limiter govern the ceiling.
     # tp/lra are the loudnorm pass-2 targets (reference: -1.5 / 11).

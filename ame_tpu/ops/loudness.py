@@ -4,8 +4,9 @@ Replaces ffmpeg ``loudnorm`` (SURVEY.md N3; reference call sites
 audio_mastering_engine.py:229-241):
   * K-weighted, gated integrated loudness (400 ms blocks, 75 % overlap,
     -70 LUFS absolute gate, -10 LU relative gate)
-  * loudness range LRA (3 s short-term blocks, -20 LU relative gate,
-    10th..95th percentiles)
+  * loudness range LRA (3 s short-term blocks at a 1 s hop, -20 LU
+    relative gate, 10th..95th round-nearest percentiles — libebur128
+    semantics, i.e. what loudnorm's input_lra/measured_LRA are)
   * 4x-oversampled true peak (polyphase FIR, BS.1770 Annex 2 style)
   * two-pass linear normalization: measure, then one clean gain
     (the reference's pass-2 path with measured_* values; its 'dynamic'
@@ -99,9 +100,13 @@ def _measure_jit(x, sample_rate, n_valid=None):
                            _power_to_lufs(mean_gated),
                            -jnp.inf)
 
-    # LRA: 3 s short-term, 100 ms hop, -20 LU relative gate, P10..P95
-    # with linear interpolation between order statistics (EBU Tech 3342)
-    p_s, v_s = _gating_block_powers(y, sample_rate, 3.000, 0.100, n_valid)
+    # LRA: 3 s short-term blocks at a 1 s hop, -20 LU relative gate,
+    # P10..P95 picked at ROUND-NEAREST order statistics — libebur128
+    # semantics, which is what ffmpeg loudnorm's input_lra/measured_LRA
+    # actually are (af_loudnorm embeds libebur128, NOT af_ebur128's
+    # 100 ms-hop code). Proven against the real filter:
+    # tests/test_golden_ffmpeg.py diffs this against loudnorm's JSON.
+    p_s, v_s = _gating_block_powers(y, sample_rate, 3.000, 1.000, n_valid)
     if p_s.shape[0] == 0:
         lra = jnp.asarray(0.0, x.dtype)
     else:
@@ -112,15 +117,13 @@ def _measure_jit(x, sample_rate, n_valid=None):
         rel_s = _power_to_lufs(mean_s) - 20.0
         gate_s = abs_s & (l_s > rel_s)
         n_g = jnp.sum(gate_s)
-        # gated interpolated percentiles via sort + masked indexing
+        # gated round-nearest percentiles via sort + masked indexing
         l_sorted = jnp.sort(jnp.where(gate_s, l_s, jnp.inf))
 
         def _pct(q):
             pos = q * (n_g - 1).astype(l_sorted.dtype)
-            i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, None)
-            i1 = jnp.minimum(i0 + 1, jnp.maximum(n_g - 1, 0))
-            frac = pos - i0.astype(l_sorted.dtype)
-            return l_sorted[i0] * (1.0 - frac) + l_sorted[i1] * frac
+            return l_sorted[jnp.clip(jnp.round(pos).astype(jnp.int32), 0,
+                                     jnp.maximum(n_g - 1, 0))]
 
         lra = jnp.where(n_g > 0, _pct(0.95) - _pct(0.10), 0.0)
 
@@ -132,16 +135,26 @@ def _measure_jit(x, sample_rate, n_valid=None):
 # ---------------------------------------------------------------------------
 
 _TP_FACTOR = 4
-_TP_TAPS_PER_PHASE = 12  # 48-tap prototype
+_TP_TAPS_PER_PHASE = 32  # 128-tap prototype; short banks ripple enough to
+                         # misread tonal crests by ~0.5 dB (measured on an
+                         # fs/4 tone against ffmpeg's 192 kHz path)
 
 
 def _tp_filterbank() -> np.ndarray:
     """[factor, taps] polyphase interpolation bank: windowed-sinc lowpass at
-    the original Nyquist, Kaiser beta 5, gain preserved per phase."""
+    the original Nyquist, Kaiser beta 5, gain preserved per phase.
+
+    The sinc is centered on an INTEGER tap (odd symmetric design; the
+    dropped last tap is exactly 0), so the group delay is a whole number of
+    output samples and phase 0 is a pure passthrough. An even-symmetric
+    (half-sample-delay) bank puts the 4x grid maximally off the input
+    sample positions and systematically under-reads fs/4-region tonal
+    crests by cos(pi/16) = 0.17 dB."""
     factor, tpp = _TP_FACTOR, _TP_TAPS_PER_PHASE
     taps = factor * tpp
-    nidx = np.arange(taps) - (taps - 1) / 2.0
-    h = np.sinc(nidx / factor) * np.kaiser(taps, 5.0)
+    center = taps // 2
+    nidx = np.arange(taps) - center
+    h = np.sinc(nidx / factor) * np.kaiser(taps + 1, 5.0)[:taps]
     h = h / np.sum(h) * factor
     return h.reshape(tpp, factor).T.copy()  # [factor, tpp]
 

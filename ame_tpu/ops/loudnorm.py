@@ -42,8 +42,12 @@ two-pass contract the reference exercises):
     peaks instead of running the 192 kHz sample-domain limiter.
   * the quiet-start check commutes the slowly-varying gain through the
     K-filter when estimating the output's short-term loudness.
-  * linear-mode gain includes the ``offset`` option
-  (``offset + target_I − measured_I`` — ffmpeg's documented pass-2 use).
+
+Two behaviors here were pinned by driving the REAL filter
+(tests/test_golden_ffmpeg.py), overriding ffmpeg's documentation:
+linear-mode gain is ``target_I − measured_I`` with the ``offset`` option
+ignored, and pass-1 input stats double-count the final ~2.9 s (the
+flush re-measures the lookahead ring tail).
 """
 
 from __future__ import annotations
@@ -262,10 +266,33 @@ def loudnorm_pass1(x: jax.Array, sample_rate: float,
     Returns input_i/input_tp/input_lra/input_thresh,
     output_i/output_thresh (+ output_tp/output_lra when ``full``),
     target_offset = target_i − output_i, and normalization_type.
+
+    The input-side stats deliberately measure the last ~2.9 s TWICE:
+    ffmpeg's dynamic-mode flush re-feeds the tail of its 3 s lookahead
+    ring through the measurement state, so the real pass-1 JSON
+    double-counts it. Proven against the genuine filter
+    (tests/test_golden_ffmpeg.py): a ramp-up reads ~0.8 LU hot, a
+    ramp-down ~0.8 LU low, and duplicating the final 2.9 s reproduces
+    input_i/input_thresh/input_lra within ~0.05 LU on every probe signal,
+    while order-symmetric content is unaffected. Without this, pass-2
+    gains diverge from the reference by up to ~1 dB on crescendo tracks.
     """
     if x.ndim == 1:
         x = x[:, None]
-    stats = measure(x, sample_rate, n_valid)
+    nd = min(int(round(2.9 * sample_rate)), x.shape[0])
+    if n_valid is None:
+        xdup = jnp.concatenate([x, x[x.shape[0] - nd:]])
+        stats = measure(xdup, sample_rate)
+    else:
+        nv = jnp.asarray(n_valid, jnp.int32)
+        start = jnp.maximum(nv - nd, 0)
+        tail = lax.dynamic_slice_in_dim(x, start, nd, axis=0)
+        buf = jnp.concatenate([x, jnp.zeros((nd, x.shape[1]), x.dtype)])
+        xdup = lax.dynamic_update_slice(buf, tail, (nv, 0))
+        stats = measure(xdup, sample_rate, nv + nd)
+    # the concat seam is a waveform discontinuity the 4x interpolator
+    # rings on; read the true peak off the original, seam-free signal
+    stats["input_tp"] = true_peak_db(x)
     y, out = dynamic_loudnorm(x, sample_rate, target_i, target_tp,
                               target_lra, n_valid=n_valid)
     stats["output_i"] = out["output_i"]
@@ -290,7 +317,7 @@ def loudnorm(x: jax.Array, sample_rate: float,
              offset=0.0, linear: bool = True, n_valid=None):
     """One loudnorm invocation. With ``measured`` pass-1 stats and
     ``linear=True``, applies the single linear gain
-    ``offset + target_i − measured_i`` when ALL eligibility gates hold:
+    ``target_i − measured_i`` when ALL eligibility gates hold:
 
       measured_tp != 99, measured_thresh != -70, measured_lra != 0,
       measured_i != 0 (values were actually supplied), AND
@@ -314,9 +341,13 @@ def loudnorm(x: jax.Array, sample_rate: float,
     m_tp = jnp.asarray(measured["input_tp"], x.dtype)
     m_lra = jnp.asarray(measured["input_lra"], x.dtype)
     m_th = jnp.asarray(measured["input_thresh"], x.dtype)
-    off = jnp.asarray(offset, x.dtype)
-
-    gain_db = off + ti - m_i
+    # ffmpeg IGNORES the offset option in linear mode: feeding the real
+    # filter offset=-2.77 and offset=6.0 yields byte-identical output with
+    # gain = target_i - measured_i exactly (tests/test_golden_ffmpeg.py).
+    # The parameter stays in the signature for call-site parity
+    # (engine:240 passes offset=target_offset) but does not enter the gain.
+    del offset
+    gain_db = ti - m_i
     offset_tp = m_tp + gain_db
     supplied = ((m_tp != 99.0) & (m_th != -70.0) & (m_lra != 0.0)
                 & (m_i != 0.0))

@@ -122,20 +122,20 @@ def test_measure_reports_thresh():
 
 
 def test_gates_quiet_linear():
-    """Quiet low-crest program: linear eligible; gain includes the pass-1
-    target_offset: out = target + offset, with offset small on steady
-    content."""
+    """Quiet low-crest program: linear eligible; the gain is exactly
+    target_I − measured_I (ffmpeg IGNORES the offset option in linear
+    mode — proven in tests/test_golden_ffmpeg.py), so the output lands
+    at the target itself."""
     # quiet noise ~ -29 LUFS, low crest (a pure sine would measure LRA
     # exactly 0.0 and trip loudnorm's values-supplied gate — faithful
     # behavior, but not what this test targets)
     x = make_test_signal("noise", SR * 8, SR, seed=5) * 0.02
     y, info = _norm(x)
     assert info["linear_mode"] == 1.0
-    expect = -14.0 + info["target_offset"]
-    assert abs(info["output_i"] - expect) < 1e-3
+    assert abs(info["output_i"] - (-14.0)) < 1e-3
     assert abs(info["target_offset"]) < 1.0
     out_i = float(oracles.integrated_lufs(y.astype(np.float64), SR))
-    assert abs(out_i - expect) < 0.1
+    assert abs(out_i - (-14.0)) < 0.1
 
 
 def test_gates_hot_linear():
@@ -146,7 +146,7 @@ def test_gates_hot_linear():
     assert info["linear_mode"] == 1.0
     assert info["gain_db"] < 0
     out_i = float(oracles.integrated_lufs(y.astype(np.float64), SR))
-    assert abs(out_i - (-14.0 + info["target_offset"])) < 0.1
+    assert abs(out_i - (-14.0)) < 0.1
 
 
 def test_gates_silent_passthrough():
@@ -230,14 +230,16 @@ def test_dynamic_gain_is_smooth():
 
 
 def test_linear_offset_semantics():
-    """loudnorm with measured values applies offset + target - measured_i
-    exactly (the documented pass-2 linear gain)."""
+    """loudnorm with measured values applies target - measured_i exactly;
+    the offset option is IGNORED in linear mode. ffmpeg's docs say
+    otherwise, but the real filter was probed with offset=-2.77 and 6.0
+    and produced byte-identical output (tests/test_golden_ffmpeg.py)."""
     from ame_tpu.ops.loudnorm import loudnorm
     x = make_test_signal("noise", SR * 4, SR, seed=9) * 0.1
     xj = jnp.asarray(x)
     m = loudness.measure(xj, SR)
     y, info = loudnorm(xj, SR, -14.0, -1.5, 11.0, measured=m, offset=0.7)
-    want = 0.7 + (-14.0) - float(m["input_i"])
+    want = (-14.0) - float(m["input_i"])
     assert info["linear_mode"] == 1.0
     assert abs(float(info["gain_db"]) - want) < 1e-4
     np.testing.assert_allclose(np.asarray(y),

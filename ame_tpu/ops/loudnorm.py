@@ -7,47 +7,50 @@ stats block (``input_i .. target_offset``), pass 2 re-runs loudnorm with the
 linear gain when the measured values pass the linear-mode eligibility gates,
 and otherwise falls back to its frame-adaptive DYNAMIC mode.
 
-This module is a structural transcription of the published loudnorm
-algorithm (FFmpeg ``af_loudnorm``, K. Swanson's EBU R128 normalizer) built
-TPU-first — all heavy measurement is parallel framed matmul/reduction work,
-and the gain controller itself is parallel too (see ``_dynamic_jit``):
+This module implements the af_loudnorm dynamic controller as pinned by
+BLACK-BOX PROBING of the real filter (driven in-process via io/avfilter.py;
+every rule was isolated with a targeted experiment and the result holds the
+gain-trajectory envelope within ~0.3 dB of ffmpeg on every probe signal —
+tests/test_golden_ffmpeg.py records the evidence), built TPU-first: all
+measurement is parallel framed matmul/reduction work and the controller
+itself is parallel (see ``_dynamic_jit``):
 
-* 100 ms frames; a ring of 30 per-frame gain deltas (3 s of context).
-* per-frame delta = 10^((env_global + env_shortterm)/20) where
-  env_shortterm = target_I − shortterm(3 s) and env_global is the
-  deviation of the frame's short-term loudness from the running gated
-  integrated loudness, clamped to ±target_LRA/2 — so frames within
-  target_LRA of the program average ride ONE track gain
-  (delta ≈ target_I − integrated: dynamics preserved) while excursions
-  beyond it are compressed; frames whose short-term loudness is below
-  ``measured_thresh`` HOLD the previous delta. (The published design also
-  carries a quiet-start creep state; under this module's step ordering it
-  is provably a no-op — a creeped value is always overwritten before it
-  is read — so it is omitted, which is what makes the controller fully
-  parallel.)
-* the applied gain is the 21-tap σ=3.5 gaussian of the delta ring centered
-  10 frames (1 s) ahead, linearly interpolated across each frame's samples.
-* the running integrated loudness is tracked ebur128-style with a 0.1 LU
-  histogram of gated 400 ms blocks (one new block per 100 ms hop), so the
-  value and its relative threshold are recomputed exactly each frame.
+* 100 ms frames; a ring of 30 per-frame gain deltas (3 s of lookahead).
+* FIRST_FRAME: if the 3 s priming short-term is below ``measured_thresh``
+  the run starts UNLATCHED with delta = offset + target_I − measured_I;
+  otherwise latched with delta = offset + target_I − st0.
+* while UNLATCHED: the pending gain creeps ×1.0058 (+0.05 dB) on each
+  frame whose input short-term exceeds measured_thresh, and latches the
+  first time the OUTPUT short-term reaches the absolute target_I (with a
+  negative enough ``offset`` it never latches and the whole run stays
+  creep-shaped — real-filter behavior).
+* once latched, EVERY frame takes the env formula (there is NO
+  below-thresh hold): delta = 10^((offset + env_global + target_I −
+  st_eff)/20), where st_eff is the short-term FLOORED at the input's
+  running relative threshold (ungated block mean − 10 LU) and env_global
+  = clip(st_eff − running gated integrated, ±target_LRA/2).
+* the applied gain is the 21-tap σ=3.5 gaussian over deltas[f−2..f+18],
+  linearly interpolated across each frame's samples; the EOF flush
+  freezes the ring, so gains are constant from frame F−28 on.
+* the running integrated loudness + relative threshold are tracked
+  ebur128-style with a 0.1 LU histogram of gated 400 ms blocks.
 * a per-frame true-peak ceiling holds the output at ``target_tp``.
 * the printed output-side stats (output_i/output_tp/output_lra/
-  output_thresh — ffmpeg's r128_out) are measured on the actual produced
-  output.
+  output_thresh — ffmpeg's r128_out) are measured on the actual output.
 
 Documented deviations from ffmpeg (each bounded, none affecting the
 two-pass contract the reference exercises):
   * ffmpeg upsamples to 192 kHz in dynamic mode (its output sample rate
     changes!); this engine stays at the native rate and caps per-frame
     peaks instead of running the 192 kHz sample-domain limiter.
-  * the quiet-start check commutes the slowly-varying gain through the
-    K-filter when estimating the output's short-term loudness.
 
-Two behaviors here were pinned by driving the REAL filter
-(tests/test_golden_ffmpeg.py), overriding ffmpeg's documentation:
-linear-mode gain is ``target_I − measured_I`` with the ``offset`` option
-ignored, and pass-1 input stats double-count the final ~2.9 s (the
-flush re-measures the lookahead ring tail).
+Behaviors pinned by driving the REAL filter (tests/test_golden_ffmpeg.py),
+overriding ffmpeg's documentation: linear-mode gain is ``target_I −
+measured_I`` with the ``offset`` option ignored (in dynamic mode it shifts
+the whole trajectory 1:1 instead); pass-1 input stats double-count the
+final ~2.9 s (the flush re-measures the lookahead ring tail); and the
+dynamic-controller rules above (creep/latch, no hold, relative-threshold
+floor, trailing window, EOF freeze).
 """
 
 from __future__ import annotations
@@ -97,20 +100,27 @@ def _hist_centers() -> np.ndarray:
 
 @partial(jax.jit, static_argnums=(1,))
 def _dynamic_jit(x, sample_rate, target_i, target_tp, target_lra,
-                 measured_i, measured_thresh, n_valid=None):
+                 measured_i, measured_thresh, offset, n_valid=None):
     """Frame-adaptive normalization of [N, C] audio. Returns
     (y, output_i, output_thresh) with y the same length as x.
 
-    FULLY PARALLEL formulation (no scan): every controller input — the
-    short-term loudness, the gating-block histogram, and therefore the
-    running integrated loudness each delta consults — is a function of the
-    INPUT alone, so the per-frame deltas are computed for all frames at
-    once (cumulative histogram + vectorized gating), below-threshold HOLD
-    frames are filled by a prefix last-active gather, and the gaussian
-    gain smoothing is a 21-tap correlation. (The published controller's
-    quiet-start creep state is a no-op under this step ordering — a creeped
-    value is always overwritten before use — so no sequential state
-    remains.)
+    Implements the black-box-pinned af_loudnorm dynamic spec (see
+    tests/oracles.py:loudnorm_dynamic_gains for the sequential float64
+    form and the list of probed behaviors, tests/test_golden_ffmpeg.py
+    for the experiments) FULLY IN PARALLEL — no scan:
+
+      * the quiet-start creep (prev_delta × 1.0058 per above-thresh frame)
+        is delta0 · 1.0058^cumsum(creep_mask) — a cumsum;
+      * the above_threshold latch is the FIRST CROSSING of the output
+        short-term loudness over target_i, computed from the pre-latch
+        trajectory (which is exact up to the latch: the smoothing window
+        at frame f only reads deltas written before frame f+28 < f+30);
+      * post-latch deltas are a pure function of the input (cumulative
+        histogram → running gated integrated + relative threshold; NO
+        below-thresh hold exists in the real filter), so no gather or
+        sequential state remains;
+      * the EOF flush freezes the delta ring, so gains are constant from
+        frame F−28 on — an index clamp.
     """
     from ame_tpu.ops.loudness import _measure_jit
     n, c = x.shape
@@ -122,7 +132,13 @@ def _dynamic_jit(x, sample_rate, target_i, target_tp, target_lra,
     # ---- per-frame input measurement ------------------------------------
     sos = design.k_weighting_sos(sample_rate)
     xk, _ = sosfilt_scan(sos, xp)
-    M0 = jnp.sum((xk * xk).reshape(F, L * c), axis=1)     # Σ xk² per frame
+    xk2 = (xk * xk).reshape(F, L, c)
+    t_rel = jnp.arange(L, dtype=x.dtype) / L
+    # interpolation moments: output frame power under a linear gain ramp
+    # g(t) = g0 + (g1-g0)·t/L is g0²·M0 + 2·g0·(g1-g0)·M1 + (g1-g0)²·M2
+    M0 = jnp.sum(xk2, axis=(1, 2))                         # Σ xk²
+    M1 = jnp.einsum("flc,l->f", xk2, t_rel)                # Σ xk²·(t/L)
+    M2 = jnp.einsum("flc,l->f", xk2, t_rel * t_rel)        # Σ xk²·(t/L)²
     cs = jnp.concatenate([jnp.zeros((1,), x.dtype), jnp.cumsum(M0)])
     # short-term input loudness: trailing 3 s (30 hops) per frame
     st_sum = cs[RING:] - cs[:-RING]
@@ -131,17 +147,21 @@ def _dynamic_jit(x, sample_rate, target_i, target_tp, target_lra,
         _power_to_lufs(st_sum / (RING * L))])             # [F]
     peak = jnp.max(jnp.abs(xp).reshape(F, L * c), axis=1)
 
+    # number of REAL frames (track end = EOF for the controller)
+    if n_valid is None:
+        F_eff = jnp.asarray(F, jnp.int32)
+        blk_valid = jnp.ones((F,), bool)
+    else:
+        F_eff = -((-jnp.asarray(n_valid, jnp.int32)) // L)
+        # blocks past the true track end never enter the histogram (the
+        # padding is zeros anyway; the mask also drops the boundary block)
+        blk_valid = (jnp.arange(F) + 1) * L <= n_valid
+
     # input-side gating blocks (400 ms, one per hop): block ending at f
     blk_sum = cs[4:] - cs[:-4]
     blk_lufs = jnp.concatenate([
         jnp.full((3,), -1e9, x.dtype),
         _power_to_lufs(blk_sum / (4 * L))])               # [F]
-    if n_valid is None:
-        blk_valid = jnp.ones((F,), bool)
-    else:
-        # blocks past the true track end never enter the histogram (the
-        # padding is zeros anyway; the mask also drops the boundary block)
-        blk_valid = (jnp.arange(F) + 1) * L <= n_valid
 
     bin_lufs = jnp.asarray(_hist_centers(), x.dtype)
     bin_power = 10.0 ** ((bin_lufs + 0.691) / 10.0)
@@ -150,64 +170,89 @@ def _dynamic_jit(x, sample_rate, target_i, target_tp, target_lra,
     blk_add = jnp.where((blk_lufs > -70.0) & blk_valid, 1.0, 0.0)
 
     # cumulative histogram: H[k] = counts of blocks ending at frames <= k,
-    # then the running gated integrated loudness for EVERY prefix at once
+    # then the running gated integrated loudness + running RELATIVE
+    # threshold (ungated mean - 10) for EVERY prefix at once
     onehot = blk_add[:, None] * (blk_idx[:, None]
                                  == jnp.arange(_NBINS)[None, :])  # [F, NB]
     H = jnp.cumsum(onehot, axis=0)                                # [F, NB]
     cnt = jnp.sum(H, axis=1)
     mean_p = jnp.sum(H * bin_power[None], axis=1) / jnp.maximum(cnt, 1.0)
-    rel = _power_to_lufs(mean_p) - 10.0                           # [F]
+    rel = jnp.where(cnt > 0, _power_to_lufs(mean_p) - 10.0,
+                    jnp.float32(-70.0))                           # [F]
     gmask = jnp.where(bin_lufs[None] > rel[:, None], H, 0.0)
     gcnt = jnp.sum(gmask, axis=1)
     gp = jnp.sum(gmask * bin_power[None], axis=1) / jnp.maximum(gcnt, 1.0)
     glob_cum = jnp.where((cnt > 0) & (gcnt > 0), _power_to_lufs(gp),
                          jnp.float32(-1e9))                       # [F]
 
-    # ---- deltas for every input frame k (consulted 3 s ahead of the
-    # output frame they gate). delta[k] sees blocks <= k-1.
-    FE = F + RING                                # extended frame axis
-    k_src = jnp.minimum(jnp.arange(FE), F - 1)   # EOF flush clamps to last
-    st_k = st_in[k_src]
-    glob_k = glob_cum[jnp.maximum(k_src - 1, 0)]
-    glob_k = jnp.where(jnp.arange(FE) == 0, jnp.float32(-1e9), glob_k)
-    env_g = jnp.clip(st_k - glob_k, -target_lra / 2.0, target_lra / 2.0)
-    cand = 10.0 ** ((env_g + target_i - st_k) / 20.0)
-    hold = st_k < measured_thresh
-
-    # FIRST_FRAME: deltas for k < RING come from the 3 s priming window
+    # ---- FIRST_FRAME: priming decides the start state --------------------
     st0 = st_in[RING - 1]
-    quiet_start = st0 < measured_thresh
+    above0 = st0 >= measured_thresh
     env0 = jnp.where(st0 <= -70.0, 0.0,
-                     jnp.where(quiet_start, target_i - measured_i,
-                               target_i - st0))
-    delta0 = 10.0 ** (env0 / 20.0)
-    primed = jnp.arange(FE) < RING
-    cand = jnp.where(primed, delta0, cand)
-    hold = jnp.where(primed, False, hold)
+                     jnp.where(above0, target_i - st0,
+                               target_i - measured_i))
+    delta0 = 10.0 ** ((offset + env0) / 20.0)
 
-    # HOLD frames repeat the last non-hold delta (delta0 if none yet):
-    # prefix last-active index + gather
-    idx = jnp.arange(FE)
-    last_active = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(hold, -1, idx))
-    delta = jnp.where(last_active < 0, delta0, cand[jnp.maximum(
-        last_active, 0)])                                          # [FE]
+    # ---- pre-latch creep trajectory (closed form) ------------------------
+    # delta index axis k in [0, FE); deltas k<RING are the priming fill,
+    # delta k = RING+f is written while processing output frame f
+    FE = F + RING
+    karr = jnp.arange(FE)
+    k_src = jnp.minimum(karr, F - 1)
+    st_k = st_in[k_src]
+    inner = karr < F_eff                     # real INNER-frame writes only
+    creep = jnp.where((st_k > measured_thresh) & inner & (karr >= RING),
+                      1.0, 0.0)
+    ccount = jnp.cumsum(creep)
+    d_pre = delta0 * 1.0058 ** ccount                              # [FE]
 
-    # ---- gaussian gain smoothing: gain[f] = Σ_j w[j] delta[f+j] ---------
     w = jnp.asarray(_gauss_weights(), x.dtype)
-    gext = sum(w[j] * lax.dynamic_slice_in_dim(delta, j, F + 1)
-               for j in range(GAUSS_TAPS))                         # [F+1]
-    gain, gain_next = gext[:F], gext[1:F + 1]
-
-    # per-frame true-peak ceiling (ffmpeg: 192 kHz sample-domain limiter)
     ceil_lin = 10.0 ** (target_tp / 20.0)
-    cap = jnp.minimum(1.0, ceil_lin / jnp.maximum(
-        peak * jnp.maximum(gain, gain_next), 1e-9))
-    g0 = gain * cap
-    g1 = gain_next * cap
+
+    def smooth_gains(delta):
+        # gain[f] reads deltas[f-2 .. f+18] (the window TRAILS by 2 — fit
+        # on the real filter's transition timing); freeze from F_eff-28
+        dpad = jnp.concatenate([jnp.full((2,), delta0, x.dtype), delta])
+        gext = sum(w[j] * lax.dynamic_slice_in_dim(dpad, j, F + 1)
+                   for j in range(GAUSS_TAPS))                     # [F+1]
+        fidx = jnp.minimum(jnp.arange(F), jnp.maximum(F_eff - 28, 0))
+        gain = gext[fidx]
+        gain_next = gext[fidx + 1]
+        cap = jnp.minimum(1.0, ceil_lin / jnp.maximum(
+            peak * jnp.maximum(gain, gain_next), 1e-9))
+        return gain * cap, gain_next * cap
+
+    g0_pre, g1_pre = smooth_gains(d_pre)
+    dg = g1_pre - g0_pre
+    out_pow_pre = g0_pre * g0_pre * M0 + 2 * g0_pre * dg * M1 + dg * dg * M2
+    cso = jnp.concatenate([jnp.zeros((1,), x.dtype),
+                           jnp.cumsum(out_pow_pre)])
+    farr = jnp.arange(F)
+    lo = jnp.maximum(farr - (RING - 1), 0)
+    st_out = _power_to_lufs((cso[farr + 1] - cso[lo])
+                            / ((farr + 1 - lo) * L))               # [F]
+
+    # latch: first INNER frame whose output short-term reaches target_i
+    can_latch = (st_out >= target_i) & (farr + RING < F_eff)
+    any_latch = jnp.any(can_latch) | above0
+    latch_f = jnp.where(above0, -RING,
+                        jnp.argmax(can_latch).astype(jnp.int32))
+    latch_k = jnp.where(any_latch, latch_f + RING, FE)   # delta-axis index
+
+    # ---- post-latch env deltas (pure function of the input) --------------
+    glob_k = glob_cum[jnp.maximum(k_src - 1, 0)]
+    rel_k = rel[jnp.maximum(k_src - 1, 0)]
+    glob_k = jnp.where(karr == 0, jnp.float32(-1e9), glob_k)
+    st_eff = jnp.maximum(st_k, rel_k)
+    env_g = jnp.clip(st_eff - glob_k, -target_lra / 2.0, target_lra / 2.0)
+    cand = 10.0 ** ((offset + env_g + target_i - st_eff) / 20.0)
+    cand = jnp.where(st_k <= -70.0, 10.0 ** (offset / 20.0), cand)
+
+    delta = jnp.where(karr < jnp.maximum(latch_k, RING), d_pre, cand)
+
+    g0, g1 = smooth_gains(delta)
 
     # apply the per-frame linearly interpolated gains
-    t_rel = jnp.arange(L, dtype=x.dtype) / L
     gain_samples = (g0[:, None] + (g1 - g0)[:, None] * t_rel[None, :])
     y = (xp.reshape(F, L, c) * gain_samples[:, :, None]).reshape(F * L, c)
     y = y[:n]
@@ -220,13 +265,17 @@ def _dynamic_jit(x, sample_rate, target_i, target_tp, target_lra,
 def dynamic_loudnorm(x: jax.Array, sample_rate: float,
                      target_i: float = -24.0, target_tp: float = -2.0,
                      target_lra: float = 7.0,
-                     measured_i=0.0, measured_thresh=-70.0, n_valid=None):
+                     measured_i=0.0, measured_thresh=-70.0, offset=0.0,
+                     n_valid=None):
     """Frame-adaptive (dynamic-mode) loudness normalization.
 
     Returns (y, {"output_i", "output_thresh"}). ``measured_i`` /
     ``measured_thresh`` carry pass-1 values in a two-pass flow; their
-    defaults are ffmpeg's unmeasured option defaults.
-    """
+    defaults are ffmpeg's unmeasured option defaults. ``offset`` shifts
+    the whole gain trajectory (ffmpeg's dynamic-mode ``offset`` semantics
+    — proven against the real filter, tests/test_golden_ffmpeg.py; note
+    it also moves where the output lands relative to ``target_i``, so a
+    never-latching quiet start stays creep-shaped)."""
     if x.ndim == 1:
         x = x[:, None]
     L = int(round(FRAME_S * sample_rate))
@@ -247,7 +296,8 @@ def dynamic_loudnorm(x: jax.Array, sample_rate: float,
         x, float(sample_rate), jnp.asarray(target_i, x.dtype),
         jnp.asarray(target_tp, x.dtype), jnp.asarray(target_lra, x.dtype),
         jnp.asarray(measured_i, x.dtype),
-        jnp.asarray(measured_thresh, x.dtype), n_valid)
+        jnp.asarray(measured_thresh, x.dtype),
+        jnp.asarray(offset, x.dtype), n_valid)
     return y, {"output_i": oi, "output_thresh": oth}
 
 
@@ -344,9 +394,8 @@ def loudnorm(x: jax.Array, sample_rate: float,
     # ffmpeg IGNORES the offset option in linear mode: feeding the real
     # filter offset=-2.77 and offset=6.0 yields byte-identical output with
     # gain = target_i - measured_i exactly (tests/test_golden_ffmpeg.py).
-    # The parameter stays in the signature for call-site parity
-    # (engine:240 passes offset=target_offset) but does not enter the gain.
-    del offset
+    # In DYNAMIC mode it shifts the whole gain trajectory 1:1 — threaded
+    # through to the dynamic branch below.
     gain_db = ti - m_i
     offset_tp = m_tp + gain_db
     supplied = ((m_tp != 99.0) & (m_th != -70.0) & (m_lra != 0.0)
@@ -360,7 +409,8 @@ def loudnorm(x: jax.Array, sample_rate: float,
 
     def _dyn_branch(x):
         y, out = dynamic_loudnorm(x, sample_rate, target_i, target_tp,
-                                  target_lra, m_i, m_th, n_valid=n_valid)
+                                  target_lra, m_i, m_th, offset=offset,
+                                  n_valid=n_valid)
         return y, out["output_i"], out["output_thresh"]
 
     y, out_i, out_th = lax.cond(lin_ok, _linear, _dyn_branch, x)

@@ -257,17 +257,44 @@ def alimiter_gain(peak, sample_rate, limit=0.98, attack_ms=5.0,
 
 def loudnorm_dynamic_gains(x, sample_rate, target_i=-14.0, target_tp=-1.5,
                            target_lra=11.0, measured_i=0.0,
-                           measured_thresh=-70.0):
-    """Sequential float64 reference of the dynamic-mode controller spec
-    implemented (in parallel form) by ops/loudnorm._dynamic_jit: returns
-    (g0, g1) per-frame gain pairs. Frame-level loop, no vectorized
-    shortcuts — used to validate the parallel formulation."""
-    from ame_tpu.dsp import design
+                           measured_thresh=-70.0, offset=0.0):
+    """Sequential float64 reference of ffmpeg loudnorm's dynamic-mode
+    controller, reconstructed by black-box probing of the REAL filter
+    (tests/test_golden_ffmpeg.py drives it in-process; every rule below was
+    pinned by a targeted experiment, see the golden tests). Returns (g0, g1)
+    per-frame gain pairs. ops/loudnorm._dynamic_jit implements the same spec
+    fully in parallel and is cross-checked against this loop.
 
+    The pinned behaviors (each overriding a round-3 doc-derived guess):
+      * every delta carries 10**(offset/20) — the ``offset`` option IS a
+        global trajectory shift in dynamic mode (it is ignored in linear
+        mode); varying it moves the whole gain curve 1:1.
+      * quiet-start state machine: when the 3 s priming shortterm is below
+        measured_thresh the controller starts UNLATCHED with
+        delta0 = offset + target_i - measured_i and each frame whose input
+        shortterm exceeds measured_thresh multiplies the pending gain by
+        1.0058 (+0.05 dB); deltas hold that crept value until the OUTPUT
+        3 s shortterm first reaches the ABSOLUTE target_i (latch) — with a
+        strongly negative offset the latch never fires and the entire run
+        is creep-shaped (verified: offset=-5 on an alternating signal).
+      * once latched, the env formula applies on EVERY frame — there is NO
+        below-measured_thresh hold (verified: thresh -20/-30/-40 produce
+        byte-identical dynamic output on a dipping signal).
+      * the env shortterm is floored at the input's RUNNING RELATIVE
+        THRESHOLD (ungated block mean - 10 LU): a deep quiet passage is
+        boosted as if it sat at that floor, making the boost peak
+        (target_i - (glob-10)) - lra/2 + offset, invariant to measured_i
+        and measured_thresh (verified by dip-depth and lra sweeps).
+      * the smoothing window trails by 2 frames: gain[f] reads
+        deltas[f-2 .. f+18] (fit on transition timing, all signals).
+      * EOF flush freezes the ring: gains are constant from frame F-28 on
+        (the ramp/alt tails pin the freeze point).
+    """
     L = int(round(0.100 * sample_rate))
     n = x.shape[0]
     F = -(-n // L)
     xp = np.pad(np.asarray(x, np.float64), ((0, F * L - n), (0, 0)))
+    from ame_tpu.dsp import design
     sos = design.k_weighting_sos(sample_rate)
     yk = sosfilt(sos, xp, axis=0)
     M0 = np.sum((yk * yk).reshape(F, -1), axis=1)
@@ -283,54 +310,83 @@ def loudnorm_dynamic_gains(x, sample_rate, target_i=-14.0, target_tp=-1.5,
     for f in range(3, F):
         blk[f] = lufs(M0[f - 3:f + 1].sum() / (4 * L))
 
-    # histogram-based running gated integrated loudness over blocks <= k-1
     centers = -70.0 + (np.arange(750) + 0.5) * 0.1
     powers = 10.0 ** ((centers + 0.691) / 10.0)
     hist = np.zeros(750)
 
-    def glob_from_hist():
+    def glob_rel_from_hist():
         cnt = hist.sum()
         if cnt == 0:
-            return -1e9
+            return -1e9, -70.0
         rel = lufs((hist * powers).sum() / cnt) - 10.0
         m = hist * (centers > rel)
         if m.sum() == 0:
-            return -1e9
-        return lufs((m * powers).sum() / m.sum())
+            return -1e9, rel
+        return lufs((m * powers).sum() / m.sum()), rel
 
-    st0 = st[29]
-    quiet = st0 < measured_thresh
+    st0 = st[min(29, F - 1)]
+    above = st0 >= measured_thresh
     env0 = 0.0 if st0 <= -70.0 else (
-        target_i - measured_i if quiet else target_i - st0)
-    delta0 = 10.0 ** (env0 / 20.0)
+        (target_i - st0) if above else (target_i - measured_i))
+    delta0 = 10.0 ** ((offset + env0) / 20.0)
     deltas = [delta0] * 30
     prev = delta0
-    # delta[k] consults blocks ending at frames <= k-1
     for j in range(min(29, F)):
         if blk[j] > -70.0:
             hist[int(np.clip((blk[j] + 70.0) / 0.1, 0, 749))] += 1
-    FE = F + 30
-    for k in range(30, FE):
-        ks = min(k, F - 1)
-        if k - 1 < F and blk[k - 1] > -70.0:
-            idx = int(np.clip((blk[k - 1] + 70.0) / 0.1, 0, 749))
-            hist[idx] += 1
-        stk = st[ks]
-        if stk < measured_thresh:
-            deltas.append(prev)
-        else:
-            env_g = np.clip(stk - glob_from_hist(),
-                            -target_lra / 2, target_lra / 2)
-            d = 10.0 ** ((env_g + target_i - stk) / 20.0)
-            deltas.append(d)
-            prev = d
-    deltas = np.asarray(deltas)
 
     w = np.exp(-((np.arange(21) - 10) ** 2) / (2 * 3.5 ** 2))
     w /= w.sum()
-    gext = np.array([np.dot(w, deltas[f:f + 21]) for f in range(F + 1)])
     ceil_lin = 10.0 ** (target_tp / 20.0)
-    g0, g1 = gext[:F], gext[1:]
-    cap = np.minimum(1.0, ceil_lin / np.maximum(
-        peak * np.maximum(g0, g1), 1e-9))
-    return g0 * cap, g1 * cap
+    g0_arr = np.zeros(F)
+    g1_arr = np.zeros(F)
+    out_pow = np.zeros(F)
+    ykf = (yk ** 2).reshape(F, L, -1)
+    t_rel = np.arange(L) / L
+
+    def window(lo):
+        win = deltas[max(lo, 0):lo + 21]
+        if lo < 0:
+            win = [delta0] * (-lo) + win
+        if len(win) < 21:
+            win = win + [deltas[-1]] * (21 - len(win))
+        return np.dot(w, np.asarray(win))
+
+    for f in range(F):
+        g0 = window(f - 2)
+        g1 = window(f - 1)
+        cap = min(1.0, ceil_lin / max(peak[f] * max(g0, g1), 1e-9))
+        g0c, g1c = g0 * cap, g1 * cap
+        g0_arr[f], g1_arr[f] = g0c, g1c
+        gs = g0c + (g1c - g0c) * t_rel
+        out_pow[f] = np.sum(ykf[f] * (gs[:, None] ** 2))
+
+        k = f + 30
+        if k >= F:
+            continue  # EOF flush: the delta ring is frozen
+        if blk[k - 1] > -70.0:
+            hist[int(np.clip((blk[k - 1] + 70.0) / 0.1, 0, 749))] += 1
+        stk = st[k]
+        if not above:
+            if stk > measured_thresh:
+                prev *= 1.0058
+            lo = max(f - 29, 0)
+            st_out = lufs(out_pow[lo:f + 1].sum() / ((f + 1 - lo) * L))
+            if st_out >= target_i:
+                above = True
+        if not above:
+            deltas.append(prev)
+        elif stk <= -70.0:
+            deltas.append(10.0 ** (offset / 20.0))
+        else:
+            glob, rel = glob_rel_from_hist()
+            st_eff = max(stk, rel)
+            env_g = np.clip(st_eff - glob, -target_lra / 2, target_lra / 2)
+            deltas.append(10.0 ** ((offset + env_g + target_i - st_eff)
+                                   / 20.0))
+
+    fz = max(F - 28, 0)
+    if fz < F:
+        g0_arr[fz:] = g0_arr[fz]
+        g1_arr[fz:] = g1_arr[fz]
+    return g0_arr, g1_arr

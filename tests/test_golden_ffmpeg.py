@@ -55,7 +55,10 @@ needs_ffmpeg = pytest.mark.skipif(
 # ---------------------------------------------------------------------------
 
 def make_signal(kind: str) -> np.ndarray:
-    r = np.random.default_rng(abs(hash(kind)) % 2 ** 31)
+    # zlib.crc32, NOT hash(): str hashing is randomized per process, which
+    # silently desynced recorded fixtures from the test-time signals
+    import zlib
+    r = np.random.default_rng(zlib.crc32(kind.encode()))
     secs = 12
     t = np.arange(SR * secs) / SR
     if kind == "alt":          # 3 s quiet / 3 s loud alternation, wide LRA
@@ -189,7 +192,7 @@ def test_pass1_dynamic_measurement_bounds():
         assert abs(m["input_tp"] - ff["input_tp"]) < 0.35, kind
         worst_offset = max(worst_offset,
                            abs(m["target_offset"] - ff["target_offset"]))
-    assert worst_offset < 0.6
+    assert worst_offset < 0.25
 
 
 # ---------------------------------------------------------------------------
@@ -237,9 +240,8 @@ def test_steady_track_forces_dynamic_quirk():
 
 @needs_ffmpeg
 def test_dynamic_mode_output_loudness():
-    """Dynamic mode: the engines differ by design (192 kHz internals vs
-    native-rate controller), but both must land the program at the target
-    loudness: compare output integrated loudness of both outputs."""
+    """Dynamic mode: output integrated loudness within 0.3 LU of the real
+    filter's output (the engines still differ by the 192 kHz internals)."""
     from ame_tpu.ops.loudnorm import dynamic_loudnorm
     from ame_tpu.ops.loudness import integrated_lufs
     x = make_signal("alt")
@@ -249,10 +251,11 @@ def test_dynamic_mode_output_loudness():
     assert stf["normalization_type"] == "dynamic"
     y, out = dynamic_loudnorm(jnp.asarray(x), SR, -14.0, -1.5, 7.0,
                               measured_i=p1["input_i"],
-                              measured_thresh=p1["input_thresh"])
+                              measured_thresh=p1["input_thresh"],
+                              offset=p1["target_offset"])
     ours_i = float(integrated_lufs(y, SR))
     ff_i = float(integrated_lufs(jnp.asarray(yf[:len(np.asarray(y))]), SR))
-    assert abs(ours_i - ff_i) < 1.0, (ours_i, ff_i)
+    assert abs(ours_i - ff_i) < 0.3, (ours_i, ff_i)
 
 
 # ---------------------------------------------------------------------------
@@ -324,6 +327,29 @@ def test_fixture_file_is_fresh():
     assert fx["sr"] == SR
     assert sorted(fx["measure"]) == sorted(MEASURE_KINDS)
     assert sorted(fx["limiter"]) == sorted(LIMITER_KINDS)
+    assert sorted(fx["dynamic"]) == ["alt", "multi", "ramp"]
+
+
+@pytest.mark.parametrize("kind", ("alt", "ramp", "multi"))
+def test_dynamic_trajectory_matches_fixture(kind):
+    """The dynamic controller vs the RECORDED real-filter gain envelope —
+    runs in every environment. Uses the recorded pass-1 stats so the
+    comparison isolates the controller (not the measurement)."""
+    from ame_tpu.ops.loudnorm import dynamic_loudnorm
+    fx = _load_fixture()["dynamic"][kind]
+    x = make_signal(kind)
+    y, _ = dynamic_loudnorm(jnp.asarray(x), SR, -14.0, -1.5, 7.0,
+                            measured_i=fx["p1"]["input_i"],
+                            measured_thresh=fx["p1"]["input_thresh"],
+                            offset=fx["p1"]["target_offset"])
+    yo = np.asarray(y)
+    L = SR // 10
+    want = np.asarray(fx["gain_env_db"])
+    nb = min(len(yo) // L, len(want))
+    eo = np.sqrt((yo[:nb * L, 0].reshape(nb, L) ** 2).mean(1))
+    ex = np.sqrt((x[:nb * L, 0].reshape(nb, L) ** 2).mean(1))
+    g = 20 * np.log10((eo + 1e-7) / (ex + 1e-7))
+    assert np.abs(g - want[:nb]).max() < 0.5, np.abs(g - want[:nb]).max()
 
 
 @pytest.mark.parametrize("kind", MEASURE_KINDS)
@@ -337,6 +363,99 @@ def test_measure_matches_fixture(kind):
     assert abs(m["input_i"] - want["input_i"]) < 0.05
     assert abs(m["input_lra"] - want["input_lra"]) < 0.05
     assert abs(m["input_thresh"] - want["input_thresh"]) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Live: DYNAMIC-mode gain-trajectory parity. The controller spec was
+# reconstructed by black-box probing (offset shifts the trajectory 1:1;
+# quiet-start creep ×1.0058/frame; latch on output shortterm >= absolute
+# target_i; post-latch env on EVERY frame with the shortterm floored at the
+# running relative threshold; window trails 2 frames; EOF freeze at F-28).
+# These tests hold the rebuilt controller's 100 ms gain envelope within
+# fractions of a dB of the real filter across the probe families.
+# ---------------------------------------------------------------------------
+
+def _envelope_err_db(ours: np.ndarray, ff: np.ndarray) -> np.ndarray:
+    L = 4410
+    nb = min(len(ours), len(ff)) // L
+    eo = np.sqrt((ours[:nb * L, 0].reshape(nb, L) ** 2).mean(1))
+    ef = np.sqrt((ff[:nb * L, 0].reshape(nb, L) ** 2).mean(1))
+    return np.abs(20 * np.log10((eo + 1e-7) / (ef + 1e-7)))
+
+
+@needs_ffmpeg
+@pytest.mark.parametrize("kind,bound", [("alt", 0.5), ("ramp", 0.5),
+                                        ("multi", 0.5)])
+def test_dynamic_trajectory_parity(kind, bound):
+    """Full two-pass dynamic run vs real ffmpeg: 100 ms RMS envelope within
+    `bound` dB everywhere (round-3's controller was off by up to 8.7 dB on
+    'alt'; the probed spec lands ~0.3)."""
+    from ame_tpu.ops.loudnorm import dynamic_loudnorm
+    x = make_signal(kind)
+    p1 = F.loudnorm_pass1(x, SR)
+    yf, _, stf = F.loudnorm_pass2(x, SR, p1, i=-14.0, tp=-1.5, lra=7.0,
+                                  resample_to=SR)
+    assert stf["normalization_type"] == "dynamic"
+    y, _ = dynamic_loudnorm(jnp.asarray(x), SR, -14.0, -1.5, 7.0,
+                            measured_i=p1["input_i"],
+                            measured_thresh=p1["input_thresh"],
+                            offset=p1["target_offset"])
+    err = _envelope_err_db(np.asarray(y), yf)
+    assert err.max() < bound, (kind, err.max())
+
+
+@needs_ffmpeg
+def test_dynamic_offset_shifts_trajectory_and_can_block_latch():
+    """offset is a 1:1 trajectory shift in dynamic mode, and a strongly
+    negative offset keeps the output shortterm below the ABSOLUTE latch
+    threshold forever: the whole run stays quiet-start-creep-shaped. Both
+    engines must agree on this regime (it is where the round-3 controller,
+    which had no creep state, was maximally wrong)."""
+    from ame_tpu.ops.loudnorm import dynamic_loudnorm
+    x = make_signal("alt")
+    p1 = F.loudnorm_pass1(x, SR)
+    m = dict(p1)
+    m["target_offset"] = -5.0
+    yf, _, _ = F.loudnorm_pass2(x, SR, m, i=-14.0, tp=-1.5, lra=7.0,
+                                resample_to=SR)
+    y, _ = dynamic_loudnorm(jnp.asarray(x), SR, -14.0, -1.5, 7.0,
+                            measured_i=p1["input_i"],
+                            measured_thresh=p1["input_thresh"],
+                            offset=-5.0)
+    err = _envelope_err_db(np.asarray(y), yf)
+    assert err.max() < 0.5, err.max()
+
+
+@needs_ffmpeg
+def test_dynamic_deep_dip_relative_threshold_floor():
+    """A deep quiet passage (shortterm ~ -35, far below measured_thresh)
+    is BOOSTED via the env formula with the shortterm floored at the
+    running relative threshold — not held (thresh -20/-30/-40 produce
+    identical real-filter output; the boost peak tracks
+    (target_i - (glob-10)) - lra/2)."""
+    from ame_tpu.ops.loudnorm import dynamic_loudnorm
+    r = np.random.default_rng(11)
+    t = np.arange(SR * 14) / SR
+    env = np.full_like(t, 0.25)
+    env[(t >= 5) & (t < 9)] = 0.018
+    s = env * np.sin(2 * np.pi * 220 * t) \
+        + 0.1 * env * r.standard_normal(t.size)
+    x = np.clip(np.stack([s, 0.9 * s], 1), -1, 1).astype(np.float32)
+    meas = {"input_i": -14.7, "input_tp": -2.0, "input_lra": 0.0,
+            "input_thresh": -20.0, "target_offset": 0.0}
+    yf, _, stf = F.loudnorm_pass2(x, SR, meas, i=-14.0, tp=-1.5, lra=7.0,
+                                  resample_to=SR)
+    assert stf["normalization_type"] == "dynamic"
+    y, _ = dynamic_loudnorm(jnp.asarray(x), SR, -14.0, -1.5, 7.0,
+                            measured_i=-14.7, measured_thresh=-20.0)
+    ours = np.asarray(y)
+    err = _envelope_err_db(ours, yf)
+    assert err.max() < 1.0, err.max()
+    # and the dip really is boosted hard by both engines
+    dip = slice(int(7.4 * SR), int(7.9 * SR))
+    boost = 20 * np.log10(np.linalg.norm(ours[dip]) /
+                          np.linalg.norm(x[dip]))
+    assert boost > 5.0, boost
 
 
 # ---------------------------------------------------------------------------

@@ -212,7 +212,10 @@ def test_dynamic_steady_hits_target():
 
 def test_dynamic_gain_is_smooth():
     """The gaussian smoothing bounds frame-to-frame gain steps: no zipper.
-    Reconstruct per-frame applied gain from y/x on a varying signal."""
+    Reconstruct per-frame applied gain from y/x on a varying signal.
+    Bound calibrated against the REAL filter: ffmpeg itself steps up to
+    1.9 dB/frame on this exact signal (single-pass dynamic), so 2.5 is
+    the no-zipper ceiling, not 1.5."""
     from ame_tpu.ops.loudnorm import dynamic_loudnorm
     rng = np.random.default_rng(3)
     x = rng.normal(size=(SR * 12, 2)) * 0.03
@@ -226,7 +229,7 @@ def test_dynamic_gain_is_smooth():
                       1e-9))
     step_db = np.abs(20 * np.log10(np.maximum(g[1:], 1e-6)
                                    / np.maximum(g[:-1], 1e-6)))
-    assert np.max(step_db) < 1.5, np.max(step_db)
+    assert np.max(step_db) < 2.5, np.max(step_db)
 
 
 def test_linear_offset_semantics():

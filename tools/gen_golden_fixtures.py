@@ -14,6 +14,10 @@ import json
 import os
 import sys
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # never the (slow) TPU tunnel
+
 import numpy as np
 
 _ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir)
@@ -77,6 +81,28 @@ def main() -> None:
         print(f"limiter/{kind}: peak={fx['limiter'][kind]['peak']:.4f} "
               f"lag={lag} env_err_max={np.abs(err).max():.3f} dB "
               f"bound={bound:.3f} dB ({len(env_ff)} blocks)")
+
+    # dynamic-mode gain trajectories: the real filter's two-pass dynamic
+    # output as a 100 ms RMS envelope (dB re input), per probe signal.
+    fx["dynamic"] = {}
+    L = T.SR // 10
+    for kind in ("alt", "ramp", "multi"):
+        x = T.make_signal(kind)
+        p1 = F.loudnorm_pass1(x, T.SR)
+        yf, _, stf = F.loudnorm_pass2(x, T.SR, p1, i=-14.0, tp=-1.5,
+                                      lra=7.0, resample_to=T.SR)
+        assert stf["normalization_type"] == "dynamic"
+        nb = min(len(yf), len(x)) // L
+        ef = np.sqrt((yf[:nb * L, 0].reshape(nb, L) ** 2).mean(1))
+        ex = np.sqrt((x[:nb * L, 0].reshape(nb, L) ** 2).mean(1))
+        g = 20 * np.log10((ef + 1e-7) / (ex + 1e-7))
+        fx["dynamic"][kind] = {
+            "p1": {k: p1[k] for k in ("input_i", "input_tp", "input_lra",
+                                      "input_thresh", "target_offset")},
+            "gain_env_db": [round(float(v), 4) for v in g],
+        }
+        print(f"dynamic/{kind}: {nb} frames, gain "
+              f"{g.min():.2f}..{g.max():.2f} dB")
 
     out = os.path.join(os.path.dirname(__file__), os.pardir, "tests",
                        "fixtures", "golden_ffmpeg.json")

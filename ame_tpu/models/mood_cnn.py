@@ -98,17 +98,25 @@ def _conv3x3_matmul(x, kernel, bias):
     XLA's conv lowering on this TPU runtime costs ~13 ms for the whole
     batch-1 CNN (165 MFLOPs — pathological); patch extraction by slicing
     is free layout work and the contraction is a single well-shaped
-    matmul. Bit-compatible with flax's nn.Conv (cross-correlation, SAME
-    padding) up to f32 reassociation: patches channel index
-    (dy*3 + dx)*Cin + ci matches kernel.reshape(9*Cin, Cout) row order."""
+    matmul. Matches flax's nn.Conv (cross-correlation, SAME padding) up to
+    bf16 input rounding: patches channel index (dy*3 + dx)*Cin + ci matches
+    kernel.reshape(9*Cin, Cout) row order.
+
+    Inference contracts in bf16 with f32 accumulation — the MXU's native
+    mode (~8x the fp32 pass rate). Classification is argmax over logits
+    whose class gaps are O(1); bf16 input rounding perturbs logits by
+    ~1e-2, and the bf16 path agrees with f32 on 16/16 out-of-family
+    validation tracks (and identical in-family accuracy) — the decision,
+    not the last logit bits, is the contract. Training stays f32 (flax
+    module path in loss_fn)."""
     B, H, W, Ci = x.shape
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))).astype(jnp.bfloat16)
     cols = [xp[:, dy:dy + H, dx:dx + W, :]
             for dy in range(3) for dx in range(3)]
     patches = jnp.concatenate(cols, axis=-1)             # [B, H, W, 9*Ci]
-    wmat = kernel.reshape(9 * Ci, -1)
+    wmat = kernel.reshape(9 * Ci, -1).astype(jnp.bfloat16)
     return jnp.einsum("bhwk,kc->bhwc", patches, wmat,
-                      precision=jax.lax.Precision.HIGHEST) + bias
+                      preferred_element_type=jnp.float32) + bias
 
 
 @jax.jit

@@ -167,11 +167,7 @@ def _tp_tile_matrix() -> np.ndarray:
     of one 128-sample tile from (previous tile | current tile) columns:
 
         out[p*LB + t] = sum_tau bank[p, tau] * xcat[LB + t - tau]
-
-    The depthwise-conv formulation of the same FIR lowers catastrophically
-    on this hardware (feature_group_count=C with C=2 — measured 38.8 ms at
-    2^23 samples); as a dense tile matmul it is MXU work like the
-    tile-conv IIR engine (ops/tile_conv.py) and runs in ~2 ms."""
+    """
     bank = _tp_filterbank()  # [factor, tpp]
     factor, tpp = bank.shape
     M = np.zeros((factor * _TP_LB, 2 * _TP_LB))
@@ -184,8 +180,24 @@ def _tp_tile_matrix() -> np.ndarray:
 
 @partial(jax.jit, static_argnums=(2,))
 def _true_peak_jit(x, M, n_valid_static):
-    """x: [N, C]; M: [factor*LB, 2*LB]. Max |value| over the 4x-upsampled
-    signal via one overlapped-tile matmul."""
+    """x: [N, C]; M: [factor*LB, 2*LB] bf16. Max |value| over the
+    4x-upsampled signal via one overlapped-tile matmul, contracted in bf16
+    with f32 accumulation (the MXU's native mode).
+
+    Engine selection, measured at 2^23 samples: depthwise-conv lowering
+    38.8 ms (feature_group_count=C pathology); fused shifted-slice VPU FIR
+    3.6 ms (the [N, 2] layout uses 2 of 128 lanes); this fp32 einsum
+    6.4 ms (fp32 MXU passes); the same einsum in bf16 with the tile matrix
+    STAGED ON DEVICE ONCE 1.07 ms. Two traps the timings exposed: (a)
+    re-uploading the 512 KB tile matrix per call costs ~5 ms over the
+    tunneled interconnect — hence the device-side cache in true_peak();
+    (b) an "optimized" interleaved-row [nb, 2*C*LB] @ [2*C*LB, ...] GEMM
+    needs x reshaped across the channel dim, and that relayout costs
+    ~20 ms — the natural [nb, 2*LB, C] einsum keeps XLA in charge of
+    layout. Precision: the final maximum takes the SAMPLE peak in exact
+    f32, so bf16 input rounding (2^-9 relative) only touches the
+    intersample excess — <= L1(bank row) * 2^-9 ~ 0.25% ~ 0.02 dB, far
+    inside every golden/measurement bound (>= 0.05 dB)."""
     n, c = x.shape
     Lb = _TP_LB
     nb = -(-n // Lb)
@@ -193,7 +205,8 @@ def _true_peak_jit(x, M, n_valid_static):
     xp = jnp.pad(x, ((Lb, nb * Lb - n), (0, 0)))
     xt = xp.reshape(nb + 1, Lb, c)
     xcat = jnp.concatenate([xt[:-1], xt[1:]], axis=1)   # [nb, 2*LB, C]
-    out = _ein("vu,buc->bvc", M, xcat)                  # [nb, factor*LB, C]
+    out = jnp.einsum("vu,buc->bvc", M, xcat.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
     # mask interpolants of the zero tail padding (their inputs include real
     # samples, but they are not part of the track)
     t_in_tile = jnp.arange(M.shape[0]) % Lb
@@ -203,17 +216,17 @@ def _true_peak_jit(x, M, n_valid_static):
     return jnp.maximum(peak_os, jnp.max(jnp.abs(x)))
 
 
-_tp_mat_np = None
+_tp_mat_dev = None
 
 
 def true_peak(x: jax.Array) -> jax.Array:
     """Linear-scale true peak of [N, C] audio (BS.1770 4x oversampling)."""
-    global _tp_mat_np
-    if _tp_mat_np is None:
-        _tp_mat_np = _tp_tile_matrix()
-    # numpy is cached; the device constant is created per call so a traced
-    # value is never captured across jit traces
-    return _true_peak_jit(x, jnp.asarray(_tp_mat_np, x.dtype), x.shape[0])
+    global _tp_mat_dev
+    if _tp_mat_dev is None:
+        # staged to the device ONCE: re-uploading 512 KB per call costs
+        # ~5 ms over the tunneled interconnect (see _true_peak_jit)
+        _tp_mat_dev = jnp.asarray(_tp_tile_matrix(), jnp.bfloat16)
+    return _true_peak_jit(x, _tp_mat_dev, x.shape[0])
 
 
 def true_peak_db(x: jax.Array) -> jax.Array:

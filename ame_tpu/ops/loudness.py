@@ -224,8 +224,12 @@ def true_peak(x: jax.Array) -> jax.Array:
     global _tp_mat_dev
     if _tp_mat_dev is None:
         # staged to the device ONCE: re-uploading 512 KB per call costs
-        # ~5 ms over the tunneled interconnect (see _true_peak_jit)
-        _tp_mat_dev = jnp.asarray(_tp_tile_matrix(), jnp.bfloat16)
+        # ~5 ms over the tunneled interconnect (see _true_peak_jit).
+        # ensure_compile_time_eval: the first call may happen while tracing
+        # (true_peak is reachable from jitted chain stages), and caching a
+        # tracer here leaks it into every later trace.
+        with jax.ensure_compile_time_eval():
+            _tp_mat_dev = jnp.asarray(_tp_tile_matrix(), jnp.bfloat16)
     return _true_peak_jit(x, _tp_mat_dev, x.shape[0])
 
 

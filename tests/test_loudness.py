@@ -291,3 +291,28 @@ def test_dynamic_controller_matches_sequential_oracle():
     assert np.median(err) < 2e-3, np.median(err)
     assert np.quantile(err, 0.95) < 2e-2, np.quantile(err, 0.95)
     assert err.max() < 0.12, err.max()
+
+
+def test_true_peak_cache_primed_under_trace_does_not_leak():
+    """Regression: if the first true_peak() call happens inside a jit trace,
+    the device-staged tile matrix must still cache as a CONCRETE array —
+    caching the traced constant leaked a tracer into every later trace
+    (UnexpectedTracerError in graph/chain when test order primed it)."""
+    import jax
+
+    saved = loudness._tp_mat_dev
+    loudness._tp_mat_dev = None
+    try:
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (4096, 2)).astype(np.float32) * 0.3)
+
+        @jax.jit
+        def f(x):
+            return loudness.true_peak(x)
+
+        a = float(f(x))                       # primes the cache under trace
+        assert not isinstance(loudness._tp_mat_dev, jax.core.Tracer)
+        b = float(loudness.true_peak(x))      # reuse outside any trace
+        assert abs(a - b) < 1e-5
+    finally:
+        loudness._tp_mat_dev = saved

@@ -280,11 +280,36 @@ class JobStore:
         return len(expired)
 
 
-def _worker_loop(store: JobStore):
+def _serve_devices():
+    """Accelerator pool for the worker threads. Round-robinning workers
+    over chips turns the serve queue into a multi-chip throughput scheduler
+    (each mastering job is single-chip; the fleet path shards WITHIN a job
+    — this shards ACROSS jobs). AME_TPU_SERVE_DEVICES caps the pool
+    (0/unset = all local devices)."""
+    import jax
+    devs = list(jax.local_devices())
+    cap = int(os.environ.get("AME_TPU_SERVE_DEVICES", 0))
+    if cap > 0:
+        devs = devs[:cap]
+    return devs
+
+
+def _worker_loop(store: JobStore, device=None):
+    """Drain the job queue; when `device` is set, every jax computation in
+    this worker (decode staging, the mastering graph, the Musicologist) is
+    pinned to it via jax.default_device."""
+    import contextlib
+
+    import jax
+
     from ame_tpu.api import process_audio
 
+    pin = (jax.default_device(device) if device is not None
+           else contextlib.nullcontext())
     while True:
         job_name, settings = store.queue.get()
+        if device is not None:
+            store.update_job(job_name, device=str(device))
 
         def status_cb(msg):
             store.append_message(job_name, msg)
@@ -300,7 +325,9 @@ def _worker_loop(store: JobStore):
             store.update_job(job_name, tag=msg)
 
         try:
-            process_audio(settings, status_cb, progress_cb, art_cb, tag_cb)
+            with pin:
+                process_audio(settings, status_cb, progress_cb, art_cb,
+                              tag_cb)
             if store.job_status(job_name) != "error":
                 store.update_job(job_name, status="done")
         except Exception as e:  # pragma: no cover — process_audio catches
@@ -465,9 +492,12 @@ class Handler(BaseHTTPRequestHandler):
                 self._json(200, {"status": "error",
                                  "error": job.get("error", "unknown")})
             else:
-                self._json(200, {"status": "processing",
-                                 "progress": job["progress"],
-                                 "queue_depth": self.store.queue.qsize()})
+                resp = {"status": "processing",
+                        "progress": job["progress"],
+                        "queue_depth": self.store.queue.qsize()}
+                if job.get("device"):
+                    resp["device"] = job["device"]
+                self._json(200, resp)
         elif path.startswith("/download/") or path.startswith("/art/"):
             name = os.path.basename(path)
             fp = self.store.output_path(name)
@@ -646,10 +676,19 @@ def make_server(host: str = "127.0.0.1", port: int = 8080,
     AME_TPU_SERVE_TTL_S seconds (default 24 h; <= 0 disables)."""
     workdir = workdir or tempfile.mkdtemp(prefix="ame_tpu_serve_")
     store = JobStore(workdir)
+    try:
+        devices = _serve_devices()
+    except Exception:  # pragma: no cover — serve must come up without jax
+        devices = []
     if workers is None:
-        workers = int(os.environ.get("AME_TPU_SERVE_WORKERS", 2))
-    for _ in range(max(workers, 1)):
-        threading.Thread(target=_worker_loop, args=(store,),
+        env = os.environ.get("AME_TPU_SERVE_WORKERS")
+        # default: at least one worker per chip — an idle chip behind a
+        # 2-thread pool is wasted capacity. An explicit count wins.
+        workers = int(env) if env else max(2, len(devices))
+    workers = max(workers, 1)
+    for i in range(workers):
+        dev = devices[i % len(devices)] if devices else None
+        threading.Thread(target=_worker_loop, args=(store, dev),
                          daemon=True).start()
     if store.ttl_s > 0:
         threading.Thread(

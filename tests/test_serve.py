@@ -454,3 +454,37 @@ def test_measure_endpoint(server, tmp_path):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server, "/measure", {"gcs_uri": "local://nope.wav"})
     assert e.value.code == 404
+
+
+def test_multi_device_worker_pool(tmp_path, monkeypatch):
+    """The serve tier is a multi-chip scheduler: with an 8-device pool the
+    default worker count widens to one per device, workers round-robin the
+    devices, and concurrent jobs land on DISTINCT chips (recorded on the
+    job). AME_TPU_SERVE_DEVICES caps the pool."""
+    import jax
+
+    from ame_tpu.serve import server as S
+
+    assert len(jax.local_devices()) == 8  # conftest virtual CPU mesh
+
+    monkeypatch.setenv("AME_TPU_SERVE_DEVICES", "3")
+    assert [str(d) for d in S._serve_devices()] == \
+        [str(d) for d in jax.local_devices()[:3]]
+    monkeypatch.delenv("AME_TPU_SERVE_DEVICES")
+    assert len(S._serve_devices()) == 8
+
+    srv, store = S.make_server(host="127.0.0.1", port=0,
+                               workdir=str(tmp_path / "srvdev"))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        jobs = [_run_job(base, tmp_path, f"d{i}.wav",
+                         {"lufs": None, "create_mp3": False}, n=8192)
+                for i in range(4)]
+        sts = [_wait_done(base, a, i) for a, i in jobs]
+        assert all(s["status"] == "done" for s in sts), sts
+        devs = {store.job_snapshot(a).get("device") for a, _ in jobs}
+        assert None not in devs, devs           # every job was pinned
+        assert len(devs) >= 2, devs             # spread across the pool
+    finally:
+        srv.shutdown()

@@ -140,6 +140,20 @@ def main(argv=None) -> int:
 
     sub.add_parser("gui", help="desktop GUI")
 
+    pp = sub.add_parser(
+        "profile",
+        help="performance report for the mastering graph on this device: "
+             "cold-start compile, steady-state x-realtime, per-stage "
+             "breakdown, HBM/RSS peaks; optionally an XLA trace")
+    pp.add_argument("input")
+    pp.add_argument("--runs", type=int, default=10,
+                    help="steady-state timing runs (median reported)")
+    pp.add_argument("--no-stages", action="store_true",
+                    help="skip the per-stage breakdown (staged-path runs)")
+    pp.add_argument("--trace", default=None, metavar="DIR",
+                    help="write a jax.profiler trace for tensorboard/xprof")
+    _add_master_args_fleet(pp)
+
     pf = sub.add_parser("fleet", help="master a directory (resumable)")
     pf.add_argument("input_dir")
     pf.add_argument("output_dir")
@@ -255,6 +269,22 @@ def main(argv=None) -> int:
                 args.input, args.output, settings,
                 lambda m: print(f"[status] {m}", file=sys.stderr))
             print(json.dumps(info))
+        return 0
+
+    if args.cmd == "profile":
+        from ame_tpu.io import force_stereo, read_audio
+        from ame_tpu.utils.profiler import profile_master
+
+        audio, sr = read_audio(args.input)
+        settings = {k: getattr(args, k) for k in (
+            "analog_character", "bass_boost", "mid_cut", "presence_boost",
+            "treble_boost", "width", "multiband", "low_thresh", "low_ratio",
+            "mid_thresh", "mid_ratio", "high_thresh", "high_ratio", "mode")}
+        settings["lufs"] = None if args.no_lufs else args.lufs
+        report = profile_master(force_stereo(audio), sr, settings,
+                                runs=args.runs, stages=not args.no_stages,
+                                trace_dir=args.trace)
+        print(json.dumps(report))
         return 0
 
     if args.cmd == "fleet":

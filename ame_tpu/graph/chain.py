@@ -28,7 +28,10 @@ settings re-runs, never re-compiles.
 from __future__ import annotations
 
 import functools as _functools
+import time as _time
 from functools import partial
+
+import numpy as _np
 
 import jax
 import jax.numpy as jnp
@@ -153,10 +156,39 @@ def _stage_multiband_quality(x, threshs, ratios, sample_rate):
 # Graph driver
 # ---------------------------------------------------------------------------
 
+class _StageClock:
+    """Per-stage wall-clock sink for the STAGED graph path (utils.profiler).
+
+    ``clock(name, thunk)`` runs the stage and, when a sink dict was given,
+    forces completion with a scalar fetch and accumulates the elapsed
+    seconds under ``name``. With no sink it is a zero-cost pass-through —
+    the fused/traced path always uses that form (host timing inside a jit
+    trace is meaningless)."""
+
+    def __init__(self, sink: dict | None):
+        self.sink = sink
+
+    def __call__(self, name, thunk):
+        if self.sink is None:
+            return thunk()
+        t0 = _time.perf_counter()
+        out = thunk()
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        # force completion with a SCALAR fetch: block_until_ready does not
+        # block over the tunneled TPU, and fetching the whole array would
+        # cost seconds at ~30 MB/s
+        _np.asarray(leaf[(0,) * leaf.ndim])
+        self.sink[name] = (self.sink.get(name, 0.0)
+                           + _time.perf_counter() - t0)
+        return out
+
+
 def _master_compat(x, sample_rate, p, *, analog_on, width_on, multiband_on,
-                   lufs_on, chunked, comp_exact=None, n_valid=None):
+                   lufs_on, chunked, comp_exact=None, n_valid=None,
+                   timer=None):
     chunk_len = int(C.COMPAT_CHUNK_SECONDS * sample_rate) if chunked else None
     info = {}
+    clock = _StageClock(timer)
     if comp_exact is None:
         # Exact pydub gain semantics at ANY length: short inputs run the
         # proven lax.scan, long unchunked tracks the two-pass Pallas
@@ -164,41 +196,46 @@ def _master_compat(x, sample_rate, p, *, analog_on, width_on, multiband_on,
         # the throughput-first clamp approximation (ops/compressor.py).
         comp_exact = True
     if analog_on:  # engine:192
-        x = _stage_analog_compat(x, p["analog"], sample_rate, chunk_len)
+        x = clock("analog", lambda: _stage_analog_compat(
+            x, p["analog"], sample_rate, chunk_len))
     # engine:194-196
-    x = _stage_eq_width_compat(x, p["bass"], p["mid_cut"], p["presence"],
-                               p["treble"], sample_rate, chunk_len,
-                               width_on, p["width"])
+    x = clock("eq_width", lambda: _stage_eq_width_compat(
+        x, p["bass"], p["mid_cut"], p["presence"], p["treble"], sample_rate,
+        chunk_len, width_on, p["width"]))
     if multiband_on:  # engine:197
-        x = _stage_multiband_compat(x, p["threshs"], p["ratios"],
-                                    sample_rate, comp_exact, chunk_len)
+        x = clock("multiband", lambda: _stage_multiband_compat(
+            x, p["threshs"], p["ratios"], sample_rate, comp_exact,
+            chunk_len))
     if lufs_on:  # engine:216-220
-        x, loud_info = _stage_normalize(x, p["lufs"], p["tp"], p["lra"],
-                                        n_valid, sample_rate, True)
+        x, loud_info = clock("loudnorm", lambda: _stage_normalize(
+            x, p["lufs"], p["tp"], p["lra"], n_valid, sample_rate, True))
         info.update(loud_info)
     # engine:223 — alimiter, always (quirk Q8), with ffmpeg-contract ramps
     # and the default auto-level 1/limit output normalization (reference
     # masters peak at ~1.0, not 0.98)
-    x = alimiter_compat(x, sample_rate, C.LIMITER_CEILING,
-                        C.LIMITER_ATTACK_MS, C.LIMITER_RELEASE_MS)
+    x = clock("limiter", lambda: alimiter_compat(
+        x, sample_rate, C.LIMITER_CEILING, C.LIMITER_ATTACK_MS,
+        C.LIMITER_RELEASE_MS))
     return x, info
 
 
 def _master_quality(x, sample_rate, p, *, analog_on, width_on, multiband_on,
-                    lufs_on, n_valid=None):
+                    lufs_on, n_valid=None, timer=None):
     info = {}
-    x = _stage_pre_quality(x, p["analog"], p["bass"], p["mid_cut"],
-                           p["presence"], p["treble"], sample_rate,
-                           analog_on, width_on, p["width"])
+    clock = _StageClock(timer)
+    x = clock("analog_eq_width", lambda: _stage_pre_quality(
+        x, p["analog"], p["bass"], p["mid_cut"], p["presence"], p["treble"],
+        sample_rate, analog_on, width_on, p["width"]))
     if multiband_on:
-        x = _stage_multiband_quality(x, p["threshs"], p["ratios"],
-                                     sample_rate)
+        x = clock("multiband", lambda: _stage_multiband_quality(
+            x, p["threshs"], p["ratios"], sample_rate))
     if lufs_on:
-        x, loud_info = _stage_normalize(x, p["lufs"], p["tp"], p["lra"],
-                                        n_valid, sample_rate, False)
+        x, loud_info = clock("loudnorm", lambda: _stage_normalize(
+            x, p["lufs"], p["tp"], p["lra"], n_valid, sample_rate, False))
         info.update(loud_info)
-    x = lookahead_limiter(x, sample_rate, C.LIMITER_CEILING,
-                          C.LIMITER_ATTACK_MS, C.LIMITER_RELEASE_MS)
+    x = clock("limiter", lambda: lookahead_limiter(
+        x, sample_rate, C.LIMITER_CEILING, C.LIMITER_ATTACK_MS,
+        C.LIMITER_RELEASE_MS))
     return x, info
 
 
@@ -230,7 +267,7 @@ def master_graph_fused(x: jax.Array, sample_rate: float, settings,
 
 
 def master_graph(x: jax.Array, sample_rate: float, settings,
-                 n_valid=None) -> tuple:
+                 n_valid=None, timer: dict | None = None) -> tuple:
     """Run the full mastering graph.
 
     Args:
@@ -238,6 +275,9 @@ def master_graph(x: jax.Array, sample_rate: float, settings,
          produced by the io layer's 16-bit decode — engine:190-191).
       sample_rate: track sample rate.
       settings: MasterSettings (or reference settings dict).
+      timer: optional dict; when given, per-stage wall-clock seconds are
+         accumulated into it (forces completion at each stage boundary —
+         a profiling aid, see utils.profiler; leave None for throughput).
 
     Returns:
       (y, info): mastered [N, 2] float32 and measurement info dict
@@ -253,7 +293,8 @@ def master_graph(x: jax.Array, sample_rate: float, settings,
         return _master_compat(
             x, float(sample_rate), p, analog_on=analog_on, width_on=width_on,
             multiband_on=multiband_on, lufs_on=lufs_on, chunked=chunked,
-            n_valid=n_valid)
+            n_valid=n_valid, timer=timer)
     return _master_quality(
         x, float(sample_rate), p, analog_on=analog_on, width_on=width_on,
-        multiband_on=multiband_on, lufs_on=lufs_on, n_valid=n_valid)
+        multiband_on=multiband_on, lufs_on=lufs_on, n_valid=n_valid,
+        timer=timer)

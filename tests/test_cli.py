@@ -101,3 +101,28 @@ def test_measure_command(tmp_path, capsys):
     assert -8.0 < out["input_i"] < -4.0, out
     assert out["input_lra"] < 1.0
     assert abs(out["input_tp"] - 20 * np.log10(0.5)) < 0.2
+
+
+def test_cli_profile(track, tmp_path, capsys):
+    trace_dir = str(tmp_path / "trace")
+    rc = main(["profile", track, "--runs", "2", "--lufs", "-16",
+               "--bass", "1.5", "--trace", trace_dir])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["n_samples"] == 4096 and rep["mode"] == "quality"
+    assert rep["x_realtime"] > 0 and rep["cold_start_s"] > 0
+    # quality chain with lufs on: all four stages appear in the breakdown
+    assert set(rep["stages_ms"]) == {"analog_eq_width", "loudnorm",
+                                     "limiter"}
+    assert all(v >= 0 for v in rep["stages_ms"].values())
+    assert rep["host_rss_mb"] is None or rep["host_rss_mb"] > 0
+    # the jax.profiler trace actually materialized
+    assert os.path.isdir(trace_dir) and any(os.scandir(trace_dir))
+
+
+def test_cli_profile_compat_stages(track, capsys):
+    rc = main(["profile", track, "--runs", "1", "--mode", "compat",
+               "--multiband", "--no-lufs"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert set(rep["stages_ms"]) == {"eq_width", "multiband", "limiter"}

@@ -78,13 +78,11 @@ def _power_to_lufs(p):
 # Integrated loudness + LRA (single fused measurement)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnums=(1,))
-def _measure_jit(x, sample_rate, n_valid=None):
-    sos = design.k_weighting_sos(sample_rate)  # host numpy -> f64 pack path
-    y, _ = sosfilt_scan(sos, x)
-
-    # integrated: 400 ms / 100 ms hop
-    p_m, v_m = _gating_block_powers(y, sample_rate, 0.400, 0.100, n_valid)
+def _integrated_gate(p_m, v_m):
+    """BS.1770 two-stage gate over 400 ms block powers -> (integrated LUFS,
+    relative threshold). Pure block math — shared by the single-chip
+    measurement and the sequence-parallel master (parallel/sp_master.py),
+    which feeds it block powers assembled from psum'd hop energies."""
     l_m = _power_to_lufs(p_m)
     abs_mask = (l_m > -70.0) & v_m
     any_abs = jnp.any(abs_mask)
@@ -99,33 +97,48 @@ def _measure_jit(x, sample_rate, n_valid=None):
     integrated = jnp.where(any_abs & any_gate,
                            _power_to_lufs(mean_gated),
                            -jnp.inf)
+    return integrated, rel_thresh
 
-    # LRA: 3 s short-term blocks at a 1 s hop, -20 LU relative gate,
-    # P10..P95 picked at ROUND-NEAREST order statistics — libebur128
-    # semantics, which is what ffmpeg loudnorm's input_lra/measured_LRA
-    # actually are (af_loudnorm embeds libebur128, NOT af_ebur128's
-    # 100 ms-hop code). Proven against the real filter:
-    # tests/test_golden_ffmpeg.py diffs this against loudnorm's JSON.
-    p_s, v_s = _gating_block_powers(y, sample_rate, 3.000, 1.000, n_valid)
+
+def _lra_gate(p_s, v_s, dtype):
+    """LRA from 3 s short-term block powers: -20 LU relative gate,
+    P10..P95 at ROUND-NEAREST order statistics — libebur128 semantics,
+    which is what ffmpeg loudnorm's input_lra/measured_LRA actually are
+    (af_loudnorm embeds libebur128, NOT af_ebur128's 100 ms-hop code).
+    Proven against the real filter: tests/test_golden_ffmpeg.py diffs this
+    against loudnorm's JSON."""
     if p_s.shape[0] == 0:
-        lra = jnp.asarray(0.0, x.dtype)
-    else:
-        l_s = _power_to_lufs(p_s)
-        abs_s = (l_s > -70.0) & v_s
-        mean_s = jnp.sum(jnp.where(abs_s, p_s, 0.0)) / jnp.maximum(
-            jnp.sum(abs_s), 1)
-        rel_s = _power_to_lufs(mean_s) - 20.0
-        gate_s = abs_s & (l_s > rel_s)
-        n_g = jnp.sum(gate_s)
-        # gated round-nearest percentiles via sort + masked indexing
-        l_sorted = jnp.sort(jnp.where(gate_s, l_s, jnp.inf))
+        return jnp.asarray(0.0, dtype)
+    l_s = _power_to_lufs(p_s)
+    abs_s = (l_s > -70.0) & v_s
+    mean_s = jnp.sum(jnp.where(abs_s, p_s, 0.0)) / jnp.maximum(
+        jnp.sum(abs_s), 1)
+    rel_s = _power_to_lufs(mean_s) - 20.0
+    gate_s = abs_s & (l_s > rel_s)
+    n_g = jnp.sum(gate_s)
+    # gated round-nearest percentiles via sort + masked indexing
+    l_sorted = jnp.sort(jnp.where(gate_s, l_s, jnp.inf))
 
-        def _pct(q):
-            pos = q * (n_g - 1).astype(l_sorted.dtype)
-            return l_sorted[jnp.clip(jnp.round(pos).astype(jnp.int32), 0,
-                                     jnp.maximum(n_g - 1, 0))]
+    def _pct(q):
+        pos = q * (n_g - 1).astype(l_sorted.dtype)
+        return l_sorted[jnp.clip(jnp.round(pos).astype(jnp.int32), 0,
+                                 jnp.maximum(n_g - 1, 0))]
 
-        lra = jnp.where(n_g > 0, _pct(0.95) - _pct(0.10), 0.0)
+    return jnp.where(n_g > 0, _pct(0.95) - _pct(0.10), 0.0)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _measure_jit(x, sample_rate, n_valid=None):
+    sos = design.k_weighting_sos(sample_rate)  # host numpy -> f64 pack path
+    y, _ = sosfilt_scan(sos, x)
+
+    # integrated: 400 ms / 100 ms hop
+    p_m, v_m = _gating_block_powers(y, sample_rate, 0.400, 0.100, n_valid)
+    integrated, rel_thresh = _integrated_gate(p_m, v_m)
+
+    # LRA: 3 s short-term blocks at a 1 s hop
+    p_s, v_s = _gating_block_powers(y, sample_rate, 3.000, 1.000, n_valid)
+    lra = _lra_gate(p_s, v_s, x.dtype)
 
     return integrated, lra, rel_thresh
 

@@ -10,6 +10,8 @@ The TPU-native story:
     (parallel.batch — independent tracks, no cross-device traffic);
   * very long programs (hours of audio) scale by sequence parallelism over
     the time axis (parallel.sequence — the scan-IIR carry becomes an
-    all-gather of per-shard boundary states over ICI);
+    all-gather of per-shard boundary states over ICI); the FULL quality
+    chain runs time-sharded end to end in parallel.sp_master (exact sp-IIR
+    EQ + gathered gated-loudness stats + halo'd true peak and limiter);
   * the mood CNN trains data+tensor parallel (parallel.train).
 """

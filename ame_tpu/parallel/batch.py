@@ -86,7 +86,10 @@ def master_batch(xs: jax.Array, sample_rate: float, settings,
               settings.lufs is not None)
     if mesh is not None:
         from jax.sharding import Mesh  # noqa: F401  (doc aid)
-        from jax.experimental.shard_map import shard_map
+        try:
+            from jax import shard_map
+        except ImportError:  # jax < 0.6
+            from jax.experimental.shard_map import shard_map
         sharding = NamedSharding(mesh, P("data"))
         xs = jax.device_put(xs, sharding)
         body = shard_map(

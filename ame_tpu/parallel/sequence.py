@@ -25,7 +25,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map
+except ImportError:  # jax < 0.6
+    from jax.experimental.shard_map import shard_map
 
 from ame_tpu.ops.scan_iir import (_state_space_np, sosfilt_scan,
                                   zero_input_response)
@@ -92,6 +95,5 @@ def sosfilt_sequence_parallel(sos, x: jax.Array, mesh: Mesh,
     fn = shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(axis, None),),
-        out_specs=P(axis, None),
-        check_rep=False)
+        out_specs=P(axis, None))
     return fn(x)

@@ -135,3 +135,50 @@ def test_master_batch_stacked_matches_per_track():
         want, _ = master_graph(jnp.asarray(tracks[b]), sr, s)
         np.testing.assert_allclose(got[b], np.asarray(want),
                                    atol=5e-5, rtol=1e-4)
+
+
+def test_sp_master_matches_single_chip():
+    """The sequence-parallel FULL quality chain (one track time-sharded
+    over 8 devices: exact sp-IIR EQ, psum'd gated loudness, halo'd true
+    peak + limiter) must reproduce the single-chip master: same loudness
+    decision and samplewise-close output (limiter warm-up term e^-20)."""
+    from ame_tpu.config import MasterSettings
+    from ame_tpu.graph.chain import master_graph
+    from ame_tpu.parallel.sp_master import master_sequence_parallel
+
+    sr = 44100
+    n = 8 * sr  # 8 s: 1 s shard per device, multiple of the 100 ms hop
+    x = make_test_signal("noise", n, sr, seed=3) * 0.15
+    t = np.arange(n) / sr
+    x[:, 0] += 0.1 * np.sin(2 * np.pi * 220.0 * t)      # genuinely stereo
+    x[n // 3: n // 3 + sr] *= 3.0                       # a loud section
+    x = np.clip(x, -0.9, 0.9).astype(np.float32)
+
+    s = MasterSettings(bass_boost=2.0, presence_boost=1.0, width=1.2,
+                       analog_character=20.0, lufs=-14.0, mode="quality")
+    mesh = make_mesh({"sp": 8})
+    y_sp, info_sp = master_sequence_parallel(jnp.asarray(x), sr, s, mesh)
+    y_1, info_1 = master_graph(jnp.asarray(x), sr, s)
+
+    for k in ("input_i", "input_lra", "input_tp", "gain_db"):
+        assert abs(float(info_sp[k]) - float(info_1[k])) < 2e-2, (
+            k, float(info_sp[k]), float(info_1[k]))
+    np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_1),
+                               atol=3e-4, rtol=2e-3)
+
+
+def test_sp_master_guards():
+    from ame_tpu.config import MasterSettings
+    from ame_tpu.parallel.sp_master import master_sequence_parallel
+
+    mesh = make_mesh({"sp": 8})
+    x = jnp.zeros((8 * 4410, 2), jnp.float32)
+    with pytest.raises(NotImplementedError):
+        master_sequence_parallel(x, 44100, MasterSettings(mode="compat"),
+                                 mesh)
+    with pytest.raises(ValueError):  # 8 shards of 4409.875 samples
+        master_sequence_parallel(x[:-1], 44100,
+                                 MasterSettings(lufs=-14.0), mesh)
+    with pytest.raises(ValueError):  # shard not a hop multiple
+        master_sequence_parallel(x[: 8 * 441], 44100,
+                                 MasterSettings(lufs=-14.0), mesh)

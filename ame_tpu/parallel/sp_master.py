@@ -102,13 +102,20 @@ def _right_halo(xl, h: int, axis: str):
     return jnp.where(idx == ndev - 1, jnp.zeros_like(recv), recv)
 
 
-def _true_peak_sharded(x, mesh: Mesh, axis: str):
-    """Exact global 4x-oversampled true peak of time-sharded [N, C]."""
+def _true_peak_sharded(x, mesh: Mesh, axis: str, n_valid=None):
+    """Exact global 4x-oversampled true peak of time-sharded [N, C].
+    ``n_valid`` (traced scalar) masks interpolants and samples of trailing
+    zero padding, matching the single-chip measurement of the unpadded
+    track."""
     Lb = L._TP_LB
     M = jnp.asarray(L._tp_tile_matrix(), jnp.bfloat16)
+    if n_valid is None:
+        n_valid = x.shape[0]
+    n_valid = jnp.asarray(n_valid, jnp.int32)
 
-    def local_fn(xl):
+    def local_fn(xl, nv):
         n, c = xl.shape
+        base = jax.lax.axis_index(axis).astype(jnp.int32) * n
         halo = _left_halo(xl, Lb, axis)
         nb = -(-n // Lb)
         ext = jnp.concatenate([halo, jnp.pad(xl, ((0, nb * Lb - n),
@@ -119,14 +126,18 @@ def _true_peak_sharded(x, mesh: Mesh, axis: str):
                          preferred_element_type=jnp.float32)
         t_in_tile = jnp.arange(M.shape[0]) % Lb
         pos = jnp.arange(nb)[:, None] * Lb + t_in_tile[None, :]
-        valid = (pos < n)[:, :, None]
-        peak = jnp.maximum(jnp.max(jnp.where(valid, jnp.abs(out), 0.0)),
-                           jnp.max(jnp.abs(xl)))
+        local_end = jnp.minimum(nv[0] - base, n)
+        valid = (pos < local_end)[:, :, None]
+        samp_ok = (jnp.arange(n) < local_end)[:, None]
+        peak = jnp.maximum(
+            jnp.max(jnp.where(valid, jnp.abs(out), 0.0)),
+            jnp.max(jnp.where(samp_ok, jnp.abs(xl), 0.0)))
         return jax.lax.pmax(peak, axis)[None]
 
-    fn = shard_map(local_fn, mesh=mesh, in_specs=P(axis, None),
+    fn = shard_map(local_fn, mesh=mesh,
+                   in_specs=(P(axis, None), P()),
                    out_specs=P(axis))
-    return fn(x)[0]
+    return fn(x, n_valid[None])[0]
 
 
 def _limiter_sharded(x, sample_rate: float, mesh: Mesh, axis: str,
@@ -159,13 +170,17 @@ def _limiter_sharded(x, sample_rate: float, mesh: Mesh, axis: str,
 
 def master_sequence_parallel(x: jax.Array, sample_rate: float, settings,
                              mesh: Mesh, axis: str = "sp",
-                             limiter_halo_s: float = 1.0):
+                             limiter_halo_s: float = 1.0, n_valid=None):
     """Master ONE [N, 2] track with the time axis sharded over ``mesh``.
 
     Quality mode only (compat's int16 requantization and pydub carries are
     single-chip constructs). Requirements: N divisible by the axis size,
     and — when loudness normalization is on — each shard divisible by the
-    100 ms gating hop. Returns (y, info) with ``y`` sharded P(axis, None)
+    100 ms gating hop. Arbitrary lengths: zero-pad to those granules and
+    pass the true length as ``n_valid`` (traced — no recompile per length;
+    ``master_sequence_parallel_padded`` wraps this), which masks the
+    loudness gate and true peak exactly like the single-chip path's
+    bucket padding. Returns (y, info) with ``y`` sharded P(axis, None)
     and ``info`` matching ``ops.loudness.normalize_two_pass``.
     """
     from ame_tpu.config import MasterSettings
@@ -219,13 +234,17 @@ def master_sequence_parallel(x: jax.Array, sample_rate: float, settings,
             sq = jnp.sum(yk * yk, axis=1)
             n_hops = sq.shape[0] // hop
             hs = jnp.sum(sq[: n_hops * hop].reshape(n_hops, hop), axis=1)
-            # integrated: 400 ms blocks on the 100 ms hop grid
+            nv = (jnp.asarray(x.shape[0], jnp.int32) if n_valid is None
+                  else jnp.asarray(n_valid, jnp.int32))
+            # integrated: 400 ms blocks on the 100 ms hop grid; blocks
+            # extending into trailing padding are masked, exactly as
+            # ops.loudness._gating_block_powers does with n_valid
             csum = jnp.concatenate([jnp.zeros((1,), hs.dtype),
                                     jnp.cumsum(hs)])
             nb_m = n_hops - 4 + 1
             p_m = (csum[4:4 + nb_m] - csum[:nb_m]) / (hop * 4)
-            integrated, rel_thresh = L._integrated_gate(
-                p_m, jnp.ones((nb_m,), bool))
+            v_m = (jnp.arange(nb_m) + 4) * hop <= nv
+            integrated, rel_thresh = L._integrated_gate(p_m, v_m)
             # LRA: 3 s blocks at a 1 s hop, assembled from the same grid
             hps = int(round(1.0 / 0.100))     # hops per second
             n_sec = n_hops // hps
@@ -237,14 +256,15 @@ def master_sequence_parallel(x: jax.Array, sample_rate: float, settings,
                 nb_s = n_sec - 3 + 1
                 p_s = ((csum_s[3:3 + nb_s] - csum_s[:nb_s])
                        / (hop * hps * 3))
-                lra = L._lra_gate(p_s, jnp.ones((nb_s,), bool), x.dtype)
+                v_s = (jnp.arange(nb_s) + 3) * (hop * hps) <= nv
+                lra = L._lra_gate(p_s, v_s, x.dtype)
             else:
                 lra = jnp.asarray(0.0, x.dtype)
             return integrated, lra, rel_thresh
 
         integrated, lra, rel_thresh = _measure_stats(yk, x, sample_rate)
         tp = 20.0 * jnp.log10(jnp.maximum(
-            _true_peak_sharded(x, mesh, axis), 1e-12))
+            _true_peak_sharded(x, mesh, axis, n_valid), 1e-12))
         gain_db = jnp.asarray(float(settings.lufs), x.dtype) - integrated
         gain_db = jnp.where(jnp.isfinite(integrated), gain_db, 0.0)
         x = jax.jit(lambda x, g: x * 10.0 ** (g / 20.0),
@@ -256,3 +276,26 @@ def master_sequence_parallel(x: jax.Array, sample_rate: float, settings,
 
     y = _limiter_sharded(x, sample_rate, mesh, axis, limiter_halo_s)
     return y, info
+
+
+def master_sequence_parallel_padded(x: jax.Array, sample_rate: float,
+                                    settings, mesh: Mesh, axis: str = "sp",
+                                    limiter_halo_s: float = 1.0):
+    """Arbitrary-length front end for ``master_sequence_parallel``:
+    zero-pads to the shard/hop granule, masks the measurement with
+    ``n_valid``, and trims the output back to the input length (fetches
+    implied — the result is a fully-replicated trim; for the sharded
+    result use the core function directly)."""
+    from ame_tpu.config import MasterSettings
+    if isinstance(settings, dict):
+        settings = MasterSettings.from_dict(settings)
+    ndev = mesh.shape[axis]
+    hop = int(round(0.100 * sample_rate))
+    granule = ndev * (hop if settings.lufs is not None else 1)
+    n = x.shape[0]
+    n_pad = -(-n // granule) * granule
+    xp = jnp.pad(jnp.asarray(x), ((0, n_pad - n), (0, 0)))
+    y, info = master_sequence_parallel(
+        xp, sample_rate, settings, mesh, axis=axis,
+        limiter_halo_s=limiter_halo_s, n_valid=n)
+    return y[:n], info

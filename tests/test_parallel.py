@@ -182,3 +182,31 @@ def test_sp_master_guards():
     with pytest.raises(ValueError):  # shard not a hop multiple
         master_sequence_parallel(x[: 8 * 441], 44100,
                                  MasterSettings(lufs=-14.0), mesh)
+
+
+def test_sp_master_padded_awkward_length():
+    """Arbitrary-length front end: pad + n_valid masking must reproduce
+    the single-chip master of the UNPADDED track (gate blocks that extend
+    into the padding are dropped, true peak ignores the padding)."""
+    from ame_tpu.config import MasterSettings
+    from ame_tpu.graph.chain import master_graph
+    from ame_tpu.parallel.sp_master import master_sequence_parallel_padded
+
+    sr = 44100
+    n = 5 * sr + 12345  # awkward: not a shard/hop multiple
+    x = make_test_signal("noise", n, sr, seed=11) * 0.12
+    x[: sr] *= 2.5
+    x = np.clip(x, -0.9, 0.9).astype(np.float32)
+
+    s = MasterSettings(bass_boost=1.5, lufs=-14.0, mode="quality")
+    mesh = make_mesh({"sp": 8})
+    y_sp, info_sp = master_sequence_parallel_padded(
+        jnp.asarray(x), sr, s, mesh)
+    y_1, info_1 = master_graph(jnp.asarray(x), sr, s)
+
+    assert y_sp.shape == (n, 2)
+    for k in ("input_i", "input_lra", "input_tp", "gain_db"):
+        assert abs(float(info_sp[k]) - float(info_1[k])) < 2e-2, (
+            k, float(info_sp[k]), float(info_1[k]))
+    np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_1),
+                               atol=3e-4, rtol=2e-3)

@@ -116,7 +116,9 @@ def main(argv=None) -> int:
     _add_master_args(pm)
 
     pa = sub.add_parser("analyze", help="Musicologist technical brief")
-    pa.add_argument("input")
+    pa.add_argument("input", nargs="+",
+                    help="one or more tracks; several run as ONE batched "
+                         "device dispatch")
 
     pl = sub.add_parser(
         "measure",
@@ -204,8 +206,13 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "analyze":
-        from ame_tpu.analysis.musicologist import analyze_song
-        print(json.dumps(analyze_song(args.input)))
+        if len(args.input) == 1:
+            from ame_tpu.analysis.musicologist import analyze_song
+            print(json.dumps(analyze_song(args.input[0])))
+        else:
+            from ame_tpu.analysis.musicologist import analyze_batch
+            briefs = analyze_batch(args.input)
+            print(json.dumps({p: b for p, b in zip(args.input, briefs)}))
         return 0
 
     if args.cmd == "measure":

@@ -126,3 +126,17 @@ def test_cli_profile_compat_stages(track, capsys):
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.strip())
     assert set(rep["stages_ms"]) == {"eq_width", "multiband", "limiter"}
+
+
+def test_cli_analyze_batched(track, tmp_path, capsys):
+    """Several inputs run through the batched Musicologist and report one
+    brief per path (single-input stays the analyze_song contract)."""
+    x = make_test_signal("tone", 4096, 44100) * 0.3
+    p2 = str(tmp_path / "in2.wav")
+    write_wav(p2, x, 44100)
+    rc = main(["analyze", track, p2])
+    assert rc == 0
+    briefs = json.loads(capsys.readouterr().out.strip())
+    assert set(briefs) == {track, p2}
+    for b in briefs.values():
+        assert "mood" in b and "tempo" in b

@@ -194,3 +194,14 @@ def linkwitz_riley_sos(order: int, cutoff_hz: float, btype: str, fs: float) -> n
         raise ValueError("Linkwitz-Riley order must be even")
     half = butter_sos(order // 2, cutoff_hz, btype, fs=fs)
     return np.concatenate([half, half], axis=0)
+
+
+def lr4_allpass_sos(cutoff_hz: float, fs: float) -> np.ndarray:
+    """The 2nd-order allpass A(z) with LP_LR4(z) + HP_LR4(z) == A(z)
+    EXACTLY: numerator = reversed Butterworth-2 denominator. The s-domain
+    identity (s^2+wc^2)^2 - 2 wc^2 s^2 = s^4 + wc^4 is a rational-function
+    identity, so it survives the bilinear transform unchanged. Used to
+    phase-compensate lower bands of a multi-way LR4 crossover tree so the
+    recombined sum stays magnitude-flat (graph/multiband._band_cascades_n)."""
+    _, a = butter_ba(2, cutoff_hz / (0.5 * fs), "lowpass")
+    return ba_to_sos_biquad(a[::-1], a)

@@ -210,3 +210,54 @@ def test_sp_master_padded_awkward_length():
             k, float(info_sp[k]), float(info_1[k]))
     np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_1),
                                atol=3e-4, rtol=2e-3)
+
+
+def test_band_split_n_sum_is_magnitude_flat():
+    """The allpass-compensated LR4 tree must recombine magnitude-flat at
+    any band count (the uncompensated tree dips -4.4 dB at G=8), and at
+    ratio=1 G-band "compression" must be spectrally transparent."""
+    from ame_tpu.graph.multiband import quality_band_split_n
+
+    sr, n = 44100, 1 << 15
+    imp = np.zeros((n, 2), np.float32)
+    imp[100] = 1.0
+    f = np.fft.rfftfreq(n, 1 / sr)
+    sel = (f > 20) & (f < 20000)
+    for edges in [(250.0, 4000.0),
+                  (150.0, 1000.0, 6000.0),
+                  tuple(float(e) for e in np.geomspace(120, 8000, 7))]:
+        bands = quality_band_split_n(jnp.asarray(imp), sr, edges)
+        h = np.sum([np.asarray(b)[:, 0] for b in bands], axis=0)
+        mag = np.abs(np.fft.rfft(h))[sel]
+        assert mag.min() > 0.995 and mag.max() < 1.005, (
+            len(edges) + 1, mag.min(), mag.max())
+
+
+def test_multiband_band_parallel_matches_single_device():
+    """One band per mesh slice (expert parallelism over the frequency
+    axis) == the single-device G-band stage."""
+    from ame_tpu.graph.multiband import multiband_quality_n
+    from ame_tpu.parallel.bands import multiband_band_parallel
+
+    mesh = make_mesh({"band": 4})
+    edges = (150.0, 1000.0, 6000.0)
+    th = [-26.0, -22.0, -19.0, -16.0]
+    ra = [2.0, 2.5, 3.0, 4.0]
+    x = make_test_signal("sweep", 1 << 14, 44100, seed=7) * 0.4
+    x[:, 1] *= 0.7
+    x = jnp.asarray(x.astype(np.float32))
+
+    y_bp = np.asarray(multiband_band_parallel(
+        x, 44100.0, edges, th, ra, mesh))
+    y_1 = np.asarray(multiband_quality_n(x, 44100.0, edges, th, ra))
+    np.testing.assert_allclose(y_bp, y_1, atol=3e-5, rtol=1e-4)
+
+
+def test_multiband_band_parallel_wrong_mesh_size():
+    from ame_tpu.parallel.bands import multiband_band_parallel
+
+    mesh = make_mesh({"band": 4})
+    x = jnp.zeros((4096, 2), jnp.float32)
+    with pytest.raises(ValueError):
+        multiband_band_parallel(x, 44100.0, (250.0,), [-20.0, -16.0],
+                                [2.0, 3.0], mesh)

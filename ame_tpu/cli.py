@@ -16,6 +16,11 @@ import logging
 import sys
 
 
+def _float_list(s: str) -> tuple:
+    """argparse type for comma-separated floats ("150,1000,6000")."""
+    return tuple(float(v) for v in s.split(",") if v.strip())
+
+
 def _add_master_args(p: argparse.ArgumentParser) -> None:
     from ame_tpu.presets import EQ_PRESETS  # pure data, no heavy imports
     p.add_argument("input")
@@ -45,6 +50,14 @@ def _add_master_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--mid-ratio", type=float, default=3.0)
     p.add_argument("--high-thresh", type=float, default=-15.0)
     p.add_argument("--high-ratio", type=float, default=4.0)
+    p.add_argument("--mb-edges", type=_float_list, default=None,
+                   help="comma-separated crossover Hz for G-band quality "
+                        "multiband (e.g. 150,1000,6000 = 4 bands); "
+                        "implies --multiband, quality mode only")
+    p.add_argument("--mb-thresholds", type=_float_list, default=None,
+                   help="per-band thresholds dB (G values; default -20)")
+    p.add_argument("--mb-ratios", type=_float_list, default=None,
+                   help="per-band ratios (G values; default 3.0)")
     p.add_argument("--mode", choices=["quality", "compat"],
                    default="quality")
     p.add_argument("--compat-chunked", action="store_true",
@@ -91,10 +104,14 @@ def _settings_from_args(args) -> dict:
         "lufs": None if args.no_lufs else args.lufs,
         "target_tp": args.target_tp,
         "target_lra": args.target_lra,
-        "multiband": args.multiband,
+        "multiband": args.multiband or getattr(args, "mb_edges", None)
+        is not None,
         "low_thresh": args.low_thresh, "low_ratio": args.low_ratio,
         "mid_thresh": args.mid_thresh, "mid_ratio": args.mid_ratio,
         "high_thresh": args.high_thresh, "high_ratio": args.high_ratio,
+        "mb_edges": getattr(args, "mb_edges", None),
+        "mb_thresholds": getattr(args, "mb_thresholds", None),
+        "mb_ratios": getattr(args, "mb_ratios", None),
         "mode": args.mode,
         "compat_chunked": args.compat_chunked,
         "bits": args.bits,

@@ -74,6 +74,15 @@ class MasterSettings:
     high_thresh: float = -15.0
     high_ratio: float = 4.0
 
+    # G-band quality multiband (mastering-grade 4..16-band dynamics; the
+    # reference is fixed at 3 bands — audio_mastering_engine.py:299).
+    # ``mb_edges=None`` keeps the classic 3-band stage at 250/4000 Hz with
+    # the low/mid/high params above. Quality mode only; band g's
+    # threshold/ratio default to -20 dB / 3.0 when unset.
+    mb_edges: tuple | None = None        # structure: G-1 ascending Hz
+    mb_thresholds: tuple | None = None   # dynamic, length G
+    mb_ratios: tuple | None = None       # dynamic, length G
+
     # -- structure flags ----------------------------------------------------
     multiband: bool = False
     # 'compat' reproduces the reference chain's behavioral quirks
@@ -94,6 +103,29 @@ class MasterSettings:
     art_prompt: str = ""
     auto_generate_prompt: bool = False
 
+    def __post_init__(self):
+        # Coerce list-valued band fields to tuples so the frozen settings
+        # stay hashable (params_from_settings lru-caches on them), and
+        # validate the G-band contract eagerly (host-side, never traced).
+        for f in ("mb_edges", "mb_thresholds", "mb_ratios"):
+            v = getattr(self, f)
+            if v is not None and not isinstance(v, tuple):
+                object.__setattr__(self, f, tuple(float(e) for e in v))
+        if self.mb_edges is not None:
+            e = self.mb_edges
+            if len(e) < 1 or list(e) != sorted(set(e)):
+                raise ValueError(
+                    f"mb_edges must be >=1 strictly ascending Hz, got {e}")
+            G = len(e) + 1
+            for f in ("mb_thresholds", "mb_ratios"):
+                v = getattr(self, f)
+                if v is not None and len(v) != G:
+                    raise ValueError(
+                        f"{f} must have {G} entries (one per band), "
+                        f"got {len(v)}")
+        elif self.mb_thresholds is not None or self.mb_ratios is not None:
+            raise ValueError("mb_thresholds/mb_ratios need mb_edges")
+
     @classmethod
     def from_dict(cls, settings: Mapping[str, Any]) -> "MasterSettings":
         """Accept the reference settings dict (unknown keys ignored)."""
@@ -113,4 +145,5 @@ class MasterSettings:
             self.analog_character > 0,
             self.width != 1.0,
             self.lufs is not None,
+            self.mb_edges,
         )

@@ -72,9 +72,14 @@ def _params_build(s) -> dict:
         "tp": jnp.float32(s.target_tp),
         "lra": jnp.float32(s.target_lra),
         "threshs": jnp.asarray(
-            [s.low_thresh, s.mid_thresh, s.high_thresh], jnp.float32),
+            [s.low_thresh, s.mid_thresh, s.high_thresh], jnp.float32)
+        if s.mb_edges is None else jnp.asarray(
+            s.mb_thresholds or (-20.0,) * (len(s.mb_edges) + 1),
+            jnp.float32),
         "ratios": jnp.asarray(
-            [s.low_ratio, s.mid_ratio, s.high_ratio], jnp.float32),
+            [s.low_ratio, s.mid_ratio, s.high_ratio], jnp.float32)
+        if s.mb_edges is None else jnp.asarray(
+            s.mb_ratios or (3.0,) * (len(s.mb_edges) + 1), jnp.float32),
     }
 
 
@@ -152,6 +157,13 @@ def _stage_multiband_quality(x, threshs, ratios, sample_rate):
     return mb.multiband_quality(x, sample_rate, threshs, ratios)
 
 
+@partial(jax.jit, static_argnums=(3, 4))
+def _stage_multiband_quality_n(x, threshs, ratios, sample_rate, edges):
+    # G-band generalization (beyond the reference's fixed 3 bands):
+    # allpass-compensated LR4 tree, one fused crossover bank pass.
+    return mb.multiband_quality_n(x, sample_rate, edges, threshs, ratios)
+
+
 # ---------------------------------------------------------------------------
 # Graph driver
 # ---------------------------------------------------------------------------
@@ -220,15 +232,19 @@ def _master_compat(x, sample_rate, p, *, analog_on, width_on, multiband_on,
 
 
 def _master_quality(x, sample_rate, p, *, analog_on, width_on, multiband_on,
-                    lufs_on, n_valid=None, timer=None):
+                    lufs_on, n_valid=None, timer=None, mb_edges=None):
     info = {}
     clock = _StageClock(timer)
     x = clock("analog_eq_width", lambda: _stage_pre_quality(
         x, p["analog"], p["bass"], p["mid_cut"], p["presence"], p["treble"],
         sample_rate, analog_on, width_on, p["width"]))
     if multiband_on:
-        x = clock("multiband", lambda: _stage_multiband_quality(
-            x, p["threshs"], p["ratios"], sample_rate))
+        if mb_edges is not None:
+            x = clock("multiband", lambda: _stage_multiband_quality_n(
+                x, p["threshs"], p["ratios"], sample_rate, mb_edges))
+        else:
+            x = clock("multiband", lambda: _stage_multiband_quality(
+                x, p["threshs"], p["ratios"], sample_rate))
     if lufs_on:
         x, loud_info = clock("loudnorm", lambda: _stage_normalize(
             x, p["lufs"], p["tp"], p["lra"], n_valid, sample_rate, False))
@@ -241,7 +257,8 @@ def _master_quality(x, sample_rate, p, *, analog_on, width_on, multiband_on,
 
 @partial(jax.jit, static_argnums=(3, 4))
 def _master_fused_jit(x, p, n_valid, sample_rate, structure):
-    (mode, chunked, multiband_on, analog_on, width_on, lufs_on) = structure
+    (mode, chunked, multiband_on, analog_on, width_on, lufs_on,
+     mb_edges) = structure
     if mode == "compat":
         return _master_compat(
             x, sample_rate, p, analog_on=analog_on, width_on=width_on,
@@ -249,7 +266,8 @@ def _master_fused_jit(x, p, n_valid, sample_rate, structure):
             n_valid=n_valid)
     return _master_quality(
         x, sample_rate, p, analog_on=analog_on, width_on=width_on,
-        multiband_on=multiband_on, lufs_on=lufs_on, n_valid=n_valid)
+        multiband_on=multiband_on, lufs_on=lufs_on, n_valid=n_valid,
+        mb_edges=mb_edges)
 
 
 def master_graph_fused(x: jax.Array, sample_rate: float, settings,
@@ -261,6 +279,8 @@ def master_graph_fused(x: jax.Array, sample_rate: float, settings,
     from ame_tpu.config import MasterSettings
     if isinstance(settings, dict):
         settings = MasterSettings.from_dict(settings)
+    if settings.mode == "compat" and settings.mb_edges is not None:
+        raise ValueError("mb_edges (G-band multiband) is quality-mode only")
     p = params_from_settings(settings)
     return _master_fused_jit(x, p, n_valid, float(sample_rate),
                              settings.structure_key())
@@ -287,9 +307,13 @@ def master_graph(x: jax.Array, sample_rate: float, settings,
     if isinstance(settings, dict):
         settings = MasterSettings.from_dict(settings)
     p = params_from_settings(settings)
-    (mode, chunked, multiband_on, analog_on, width_on,
-     lufs_on) = settings.structure_key()
+    (mode, chunked, multiband_on, analog_on, width_on, lufs_on,
+     mb_edges) = settings.structure_key()
     if mode == "compat":
+        if mb_edges is not None:
+            raise ValueError("mb_edges (G-band multiband) is quality-mode "
+                             "only; compat mode is pinned to the "
+                             "reference's 3-band stage")
         return _master_compat(
             x, float(sample_rate), p, analog_on=analog_on, width_on=width_on,
             multiband_on=multiband_on, lufs_on=lufs_on, chunked=chunked,
@@ -297,4 +321,4 @@ def master_graph(x: jax.Array, sample_rate: float, settings,
     return _master_quality(
         x, float(sample_rate), p, analog_on=analog_on, width_on=width_on,
         multiband_on=multiband_on, lufs_on=lufs_on, n_valid=n_valid,
-        timer=timer)
+        timer=timer, mb_edges=mb_edges)

@@ -37,7 +37,7 @@ from ame_tpu.graph.chain import params_from_settings
 
 
 def _one_track_quality(x, p, sample_rate, analog_on, width_on, multiband_on,
-                       lufs_on):
+                       lufs_on, mb_edges=None):
     if analog_on:
         x = saturate.analog_character_quality(x, sample_rate, p["analog"])
     x = eq.apply_eq_quality(x, sample_rate, p["bass"], p["mid_cut"],
@@ -45,7 +45,12 @@ def _one_track_quality(x, p, sample_rate, analog_on, width_on, multiband_on,
     if width_on:
         x = stereo.stereo_width_quality(x, p["width"])
     if multiband_on:
-        x = mb.multiband_quality(x, sample_rate, p["threshs"], p["ratios"])
+        if mb_edges is not None:
+            x = mb.multiband_quality_n(x, sample_rate, mb_edges,
+                                       p["threshs"], p["ratios"])
+        else:
+            x = mb.multiband_quality(x, sample_rate, p["threshs"],
+                                     p["ratios"])
     if lufs_on:
         x, _ = normalize_two_pass(x, sample_rate, p["lufs"])
     x = lookahead_limiter(x, sample_rate, C.LIMITER_CEILING,
@@ -53,11 +58,12 @@ def _one_track_quality(x, p, sample_rate, analog_on, width_on, multiband_on,
     return x
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def _batch_jit(xs, p, sample_rate, analog_on, width_on, multiband_on,
-               lufs_on):
+               lufs_on, mb_edges=None):
     fn = lambda x: _one_track_quality(x, p, sample_rate, analog_on,
-                                      width_on, multiband_on, lufs_on)
+                                      width_on, multiband_on, lufs_on,
+                                      mb_edges)
     # on-device sequential loop over tracks: each iteration is the
     # single-track program in its natural [N, 2] layout
     return jax.lax.map(fn, xs)
@@ -83,7 +89,8 @@ def master_batch(xs: jax.Array, sample_rate: float, settings,
               settings.analog_character > 0,
               settings.width != 1.0,
               bool(settings.multiband),
-              settings.lufs is not None)
+              settings.lufs is not None,
+              settings.mb_edges)
     if mesh is not None:
         from jax.sharding import Mesh  # noqa: F401  (doc aid)
         try:

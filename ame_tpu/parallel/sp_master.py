@@ -189,6 +189,12 @@ def master_sequence_parallel(x: jax.Array, sample_rate: float, settings,
     if settings.mode != "quality":
         raise NotImplementedError("sequence-parallel mastering is "
                                   "quality-mode only")
+    if settings.multiband or settings.mb_edges is not None:
+        raise NotImplementedError(
+            "multiband is not sequence-parallel yet (the compressor's "
+            "attack/release smoother is a time-varying recurrence); use "
+            "parallel.bands.multiband_band_parallel to distribute the "
+            "multiband stage, or a single chip")
     ndev = mesh.shape[axis]
     n = x.shape[0]
     if n % ndev:

@@ -217,6 +217,10 @@ def master_batch_stacked(xs, sample_rate: float, settings) -> jax.Array:
     from ame_tpu.config import MasterSettings
     if isinstance(settings, dict):
         settings = MasterSettings.from_dict(settings)
+    if settings.mb_edges is not None:
+        raise NotImplementedError("G-band multiband is not implemented for "
+                                  "the channel-stacked layout (use "
+                                  "parallel.batch.master_batch)")
     p = params_from_settings(settings)
     batched_in = hasattr(xs, "ndim") and xs.ndim == 3
     if batched_in:

@@ -54,9 +54,13 @@ from ame_tpu.ops.stereo import stereo_width_quality
 def _coerce_settings(settings):
     if settings is None:
         return MasterSettings()
-    if isinstance(settings, MasterSettings):
-        return settings
-    return MasterSettings.from_dict(dict(settings))
+    if not isinstance(settings, MasterSettings):
+        settings = MasterSettings.from_dict(dict(settings))
+    if settings.mb_edges is not None:
+        raise NotImplementedError("G-band multiband (mb_edges) is offline-"
+                                  "graph only; streaming keeps the 3-band "
+                                  "stage")
+    return settings
 
 
 def _analog_sos(factor, sample_rate, dt):

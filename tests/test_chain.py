@@ -230,3 +230,43 @@ def test_loudnorm_targets_are_settings():
     _, info2 = master_graph(xq, SR, s2)
     assert float(info2["linear_mode"]) == 0.0
     assert s1.structure_key() == s2.structure_key()  # no re-specialization
+
+
+def test_master_graph_gband_multiband():
+    """G-band quality multiband (mb_edges) through the full graph: staged
+    and fused paths agree; threshold changes re-run without restructuring;
+    compat mode rejects it."""
+    from ame_tpu.graph.chain import master_graph_fused
+
+    n = SR
+    x = jnp.asarray(make_test_signal("noise", n, SR, seed=9) * 0.3)
+    s = MasterSettings(multiband=True, mb_edges=(150.0, 1000.0, 6000.0),
+                       mb_thresholds=(-30.0, -28.0, -26.0, -24.0),
+                       mb_ratios=(4.0, 3.0, 3.0, 5.0),
+                       lufs=-14.0, mode="quality")
+    y, info = master_graph(x, SR, s)
+    assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
+    yf, _ = master_graph_fused(x, SR, s)
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(y), atol=2e-5)
+    # same structure, new thresholds: identical structure key
+    s2 = MasterSettings(multiband=True, mb_edges=(150.0, 1000.0, 6000.0),
+                        mb_thresholds=(-10.0, -10.0, -10.0, -10.0),
+                        mb_ratios=(2.0, 2.0, 2.0, 2.0),
+                        lufs=-14.0, mode="quality")
+    assert s.structure_key() == s2.structure_key()
+    with pytest.raises(ValueError):
+        master_graph(x, SR, MasterSettings(
+            multiband=True, mb_edges=(250.0,), mode="compat"))
+
+
+def test_gband_settings_validation():
+    with pytest.raises(ValueError):
+        MasterSettings(mb_edges=(4000.0, 250.0))          # not ascending
+    with pytest.raises(ValueError):
+        MasterSettings(mb_edges=(250.0,), mb_ratios=(2.0, 2.0, 2.0))
+    with pytest.raises(ValueError):
+        MasterSettings(mb_thresholds=(-20.0,))            # edges missing
+    # lists coerce to tuples (hashability for the params cache)
+    s = MasterSettings(mb_edges=[250.0, 4000.0])
+    assert isinstance(s.mb_edges, tuple)
+    hash(s)

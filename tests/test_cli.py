@@ -140,3 +140,10 @@ def test_cli_analyze_batched(track, tmp_path, capsys):
     assert set(briefs) == {track, p2}
     for b in briefs.values():
         assert "mood" in b and "tempo" in b
+
+
+def test_cli_master_gband(track, tmp_path, capsys):
+    out = str(tmp_path / "g.wav")
+    rc = main(["master", track, out, "--mb-edges", "150,1000,6000",
+               "--mb-ratios", "3,3,3,3", "--no-lufs"])
+    assert rc == 0 and os.path.exists(out)

@@ -16,6 +16,10 @@ Per-stage parallelization (quality mode):
     all-gathered (GSPMD inserts the collective), after which the BS.1770
     gate math (ops.loudness._integrated_gate/_lra_gate — the same code the
     single-chip path and the ffmpeg golden tests run) is replicated;
+  * multiband compression — per-band cascades through the exact sp IIR,
+    shard-local RMS detector with a left halo, release scan with an EXACT
+    all-gathered (max, x) boundary carry, attack one-pole through the sp
+    IIR again (_multiband_sp; 3-band or mb_edges G-band);
   * true peak — per-shard 4x tile-matmul oversampling (ops.loudness tile
     matrix) with a 128-sample left halo ppermuted from the neighbor, then
     a pmax. Exact: the interpolation FIR is causal with 128 taps.
@@ -168,6 +172,113 @@ def _limiter_sharded(x, sample_rate: float, mesh: Mesh, axis: str,
     return fn(x)
 
 
+def _multiband_params(settings, sample_rate: float):
+    """Band cascades + per-band (threshold, ratio) tuples for the sp
+    multiband stage. 3-band default uses the SAME uncompensated cascades
+    as graph/multiband.quality_band_split (exact single-chip parity);
+    mb_edges routes to the allpass-compensated G-band tree."""
+    fs = float(sample_rate)
+    if settings.mb_edges is not None:
+        from ame_tpu.graph.multiband import _band_cascades_n
+        cascades = _band_cascades_n(fs, settings.mb_edges)
+        G = len(cascades)
+        th = settings.mb_thresholds or (-20.0,) * G
+        ra = settings.mb_ratios or (3.0,) * G
+        return cascades, tuple(th), tuple(ra)
+    lo = design.linkwitz_riley_sos(4, C.MB_LOW_CROSSOVER_HZ, "lowpass", fs)
+    lo_hp = design.linkwitz_riley_sos(4, C.MB_LOW_CROSSOVER_HZ, "highpass",
+                                      fs)
+    hi_lp = design.linkwitz_riley_sos(4, C.MB_HIGH_CROSSOVER_HZ, "lowpass",
+                                      fs)
+    hi_hp = design.linkwitz_riley_sos(4, C.MB_HIGH_CROSSOVER_HZ, "highpass",
+                                      fs)
+    cascades = [lo, np.concatenate([lo_hp, hi_lp]),
+                np.concatenate([lo_hp, hi_hp])]
+    th = (settings.low_thresh, settings.mid_thresh, settings.high_thresh)
+    ra = (settings.low_ratio, settings.mid_ratio, settings.high_ratio)
+    return cascades, th, ra
+
+
+def _multiband_sp(x, sample_rate: float, settings, mesh: Mesh, axis: str,
+                  shd):
+    """Quality multiband compression on a time-sharded track — exact:
+
+      * band split: per-band SOS cascades through the exact sp IIR;
+      * RMS detector: shard-local moving mean with a (rms_w - 1)-sample
+        left halo and the global start-clipped divisor;
+      * release scan: shard-local (max, x) Kogge-Stone + an EXACT
+        cross-shard carry — per-shard zero-state end values are
+        all-gathered and every shard takes max_j decay^((s-1-j)*Ln) e_j,
+        the unrolled boundary recurrence;
+      * attack one-pole: the exact sp IIR again (superposition carry);
+      * gain apply + band recombination: memoryless, shard-local.
+
+    Matches ops.compressor.compress_quality_multi to f32 reduction order.
+    """
+    import math
+    from ame_tpu.ops import window as W
+
+    cascades, th, ra = _multiband_params(settings, sample_rate)
+    G = len(cascades)
+    ndev = mesh.shape[axis]
+    local_n = x.shape[0] // ndev
+    rms_w = max(int(C.MB_RMS_MS * sample_rate / 1000.0), 1)
+    rel_decay = math.exp(-1.0 / (C.MB_RELEASE_MS * sample_rate / 1000.0))
+    a_att = math.exp(-1.0 / (C.MB_ATTACK_MS * sample_rate / 1000.0))
+
+    bands = [sosfilt_sequence_parallel(sos_g, x, mesh, axis)
+             for sos_g in cascades]
+
+    th_a = np.asarray(th, np.float32).reshape(1, G)
+    ra_a = np.asarray(ra, np.float32).reshape(1, G)
+
+    def _detect_release(*bl):
+        dt = bl[0].dtype
+        sq = jnp.stack([jnp.mean(b * b, axis=1) for b in bl], axis=1)
+        # windowed mean with left halo; shard 0's zero halo IS the global
+        # start clip, and the divisor uses the global sample index
+        halo = _left_halo(sq, rms_w - 1, axis) if rms_w > 1 else sq[:0]
+        ssum = W.moving_sum_past(jnp.concatenate([halo, sq]), rms_w)
+        ssum = ssum[rms_w - 1:] if rms_w > 1 else ssum
+        gidx = (jax.lax.axis_index(axis) * local_n
+                + jnp.arange(local_n, dtype=jnp.int32))
+        count = jnp.minimum(gidx + 1, rms_w).astype(dt)
+        level_db = 10.0 * jnp.log10(
+            jnp.maximum(ssum / count[:, None], 1e-12))
+        over = jnp.maximum(level_db - jnp.asarray(th_a, dt), 0.0)
+        gr = over * (1.0 - 1.0 / jnp.asarray(ra_a, dt))
+        # shard-local release scan + exact cross-shard (max, x) carry
+        y_loc = W.release_scan(gr, rel_decay)
+        es = jax.lax.all_gather(y_loc[-1], axis)            # [S, G]
+        s_idx = jax.lax.axis_index(axis)
+        j = jnp.arange(ndev)
+        expo = jnp.maximum((s_idx - 1 - j).astype(dt), 0.0) * local_n
+        wgt = jnp.where(j < s_idx,
+                        jnp.exp(expo * math.log(rel_decay)), 0.0)
+        carry = jnp.max(wgt[:, None] * es, axis=0)          # [G]
+        kpow = jnp.exp((jnp.arange(local_n, dtype=dt) + 1.0)
+                       * math.log(rel_decay))
+        return jnp.maximum(y_loc, carry[None, :] * kpow[:, None])
+
+    fn = shard_map(_detect_release, mesh=mesh,
+                   in_specs=tuple(P(axis, None) for _ in bands),
+                   out_specs=P(axis, None))
+    gr_rel = jax.jit(fn)(*bands)
+
+    # attack smoother: one-pole y = (1-a) u + a y_{-1} over the exact sp IIR
+    att_sos = np.array([[1.0 - a_att, 0.0, 0.0, 1.0, -a_att, 0.0]])
+    gr_smooth = sosfilt_sequence_parallel(att_sos, gr_rel, mesh, axis)
+
+    def _recombine(grs, *bl):
+        gains = 10.0 ** (-grs / 20.0)
+        out = bl[0] * gains[:, 0][:, None]
+        for g in range(1, G):
+            out = out + bl[g] * gains[:, g][:, None]
+        return out
+
+    return jax.jit(_recombine, out_shardings=shd)(gr_smooth, *bands)
+
+
 def master_sequence_parallel(x: jax.Array, sample_rate: float, settings,
                              mesh: Mesh, axis: str = "sp",
                              limiter_halo_s: float = 1.0, n_valid=None):
@@ -189,12 +300,6 @@ def master_sequence_parallel(x: jax.Array, sample_rate: float, settings,
     if settings.mode != "quality":
         raise NotImplementedError("sequence-parallel mastering is "
                                   "quality-mode only")
-    if settings.multiband or settings.mb_edges is not None:
-        raise NotImplementedError(
-            "multiband is not sequence-parallel yet (the compressor's "
-            "attack/release smoother is a time-varying recurrence); use "
-            "parallel.bands.multiband_band_parallel to distribute the "
-            "multiband stage, or a single chip")
     ndev = mesh.shape[axis]
     n = x.shape[0]
     if n % ndev:
@@ -228,6 +333,9 @@ def master_sequence_parallel(x: jax.Array, sample_rate: float, settings,
             return jnp.stack([mid + side, mid - side], axis=1)
 
         x = jax.jit(_width, out_shardings=shd)(x)
+
+    if settings.multiband or settings.mb_edges is not None:
+        x = _multiband_sp(x, sample_rate, settings, mesh, axis, shd)
 
     if lufs_on:
         yk = sosfilt_sequence_parallel(

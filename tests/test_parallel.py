@@ -261,3 +261,53 @@ def test_multiband_band_parallel_wrong_mesh_size():
     with pytest.raises(ValueError):
         multiband_band_parallel(x, 44100.0, (250.0,), [-20.0, -16.0],
                                 [2.0, 3.0], mesh)
+
+
+def test_sp_master_multiband_matches_single_chip():
+    """Sequence-parallel MULTIBAND mastering: per-band sp IIR split, haloed
+    detector, exact release/attack boundary carries — must reproduce the
+    single-chip quality chain with multiband on."""
+    from ame_tpu.config import MasterSettings
+    from ame_tpu.graph.chain import master_graph
+    from ame_tpu.parallel.sp_master import master_sequence_parallel
+
+    sr = 44100
+    n = 8 * sr
+    x = make_test_signal("noise", n, sr, seed=5) * 0.15
+    t = np.arange(n) / sr
+    x[:, 0] += 0.2 * np.sin(2 * np.pi * 180.0 * t)
+    x[n // 2: n // 2 + sr] *= 2.5                      # trip the compressor
+    x = np.clip(x, -0.9, 0.9).astype(np.float32)
+
+    s = MasterSettings(bass_boost=1.5, width=1.2, multiband=True,
+                       low_thresh=-30.0, mid_thresh=-28.0,
+                       high_thresh=-30.0, lufs=-14.0, mode="quality")
+    mesh = make_mesh({"sp": 8})
+    y_sp, info_sp = master_sequence_parallel(jnp.asarray(x), sr, s, mesh)
+    y_1, info_1 = master_graph(jnp.asarray(x), sr, s)
+    for k in ("input_i", "gain_db"):
+        assert abs(float(info_sp[k]) - float(info_1[k])) < 2e-2
+    np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_1),
+                               atol=5e-4, rtol=2e-3)
+
+
+def test_sp_master_gband_multiband():
+    """G-band mb_edges through the sequence-parallel chain."""
+    from ame_tpu.config import MasterSettings
+    from ame_tpu.graph.chain import master_graph
+    from ame_tpu.parallel.sp_master import master_sequence_parallel
+
+    sr = 22050
+    n = 8 * sr
+    x = make_test_signal("sweep", n, sr, seed=6) * 0.3
+    x[:, 1] *= 0.8
+    x = x.astype(np.float32)
+    s = MasterSettings(multiband=True, mb_edges=(200.0, 1500.0, 5000.0),
+                       mb_thresholds=(-32.0, -30.0, -28.0, -30.0),
+                       mb_ratios=(3.0, 3.0, 4.0, 4.0),
+                       lufs=None, mode="quality")
+    mesh = make_mesh({"sp": 8})
+    y_sp, _ = master_sequence_parallel(jnp.asarray(x), sr, s, mesh)
+    y_1, _ = master_graph(jnp.asarray(x), sr, s)
+    np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_1),
+                               atol=5e-4, rtol=2e-3)

@@ -13,10 +13,21 @@ Public API (mirrors reference audio_mastering_engine.py:94-137, 32-38):
 plus the typed, TPU-first API in ame_tpu.graph / ame_tpu.ops.
 """
 
+import os as _os
+
 from ame_tpu.presets import EQ_PRESETS
 from ame_tpu.utils.compile_cache import enable_persistent_cache
 
 enable_persistent_cache()
+
+if _os.environ.get("AME_TPU_PLATFORM"):
+    # Operational escape hatch: pin the JAX backend (e.g. "cpu" to keep a
+    # box serving when the TPU is unreachable). Set via jax.config because
+    # a JAX_PLATFORMS env var is overridden by installed accelerator
+    # plugins on some deployments.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["AME_TPU_PLATFORM"])
 
 __version__ = "0.1.0"
 

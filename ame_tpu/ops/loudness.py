@@ -143,6 +143,46 @@ def _measure_jit(x, sample_rate, n_valid=None):
     return integrated, lra, rel_thresh
 
 
+def gated_stats_from_hops(hop_sums, hop: int, n_valid=None, dtype=None):
+    """(integrated, lra, rel_thresh) from 100 ms hop ENERGIES — the
+    hop-domain twin of ``_measure_jit``, shared by the sequence-parallel
+    paths (parallel/sp_master.py, parallel/sp_compat.py), which compute
+    per-hop K-weighted energies shard-locally and let GSPMD all-gather the
+    tiny [n_hops] vector before this replicated gate math runs.
+
+    hop_sums: [H] per-hop sums of the K-weighted squared signal (summed
+    over channels). ``n_valid`` masks gating blocks extending past the
+    true track end, exactly as ``_gating_block_powers`` does — block
+    validity is hop-quantized (a block's end lands on the hop grid), so
+    hop-level masking is exact.
+    """
+    dt = dtype or hop_sums.dtype
+    H = hop_sums.shape[0]
+    nv = (jnp.asarray(H * hop, jnp.int32) if n_valid is None
+          else jnp.asarray(n_valid, jnp.int32))
+    csum = jnp.concatenate([jnp.zeros((1,), hop_sums.dtype),
+                            jnp.cumsum(hop_sums)])
+    # integrated: 400 ms blocks on the 100 ms hop grid
+    nb_m = H - 4 + 1
+    p_m = (csum[4:4 + nb_m] - csum[:nb_m]) / (hop * 4)
+    v_m = (jnp.arange(nb_m) + 4) * hop <= nv
+    integrated, rel_thresh = _integrated_gate(p_m, v_m)
+    # LRA: 3 s blocks at a 1 s hop, assembled from the same grid
+    hps = 10                                # hops per second
+    n_sec = H // hps
+    if n_sec >= 3:
+        hs_s = jnp.sum(hop_sums[: n_sec * hps].reshape(n_sec, hps), axis=1)
+        csum_s = jnp.concatenate([jnp.zeros((1,), hop_sums.dtype),
+                                  jnp.cumsum(hs_s)])
+        nb_s = n_sec - 3 + 1
+        p_s = (csum_s[3:3 + nb_s] - csum_s[:nb_s]) / (hop * hps * 3)
+        v_s = (jnp.arange(nb_s) + 3) * (hop * hps) <= nv
+        lra = _lra_gate(p_s, v_s, dt)
+    else:
+        lra = jnp.asarray(0.0, dt)
+    return integrated, lra, rel_thresh
+
+
 # ---------------------------------------------------------------------------
 # True peak (4x polyphase oversampling)
 # ---------------------------------------------------------------------------

@@ -98,11 +98,30 @@ def _hist_centers() -> np.ndarray:
 # Dynamic-mode engine
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnums=(1,))
-def _dynamic_jit(x, sample_rate, target_i, target_tp, target_lra,
-                 measured_i, measured_thresh, offset, n_valid=None):
-    """Frame-adaptive normalization of [N, C] audio. Returns
-    (y, output_i, output_thresh) with y the same length as x.
+def _frame_moments(xp, xk, L: int):
+    """Per-frame measurement of [F·L, C] audio given its K-weighted form:
+    interpolation moments (output frame power under a linear gain ramp
+    g(t) = g0 + (g1-g0)·t/L is g0²·M0 + 2·g0·(g1-g0)·M1 + (g1-g0)²·M2)
+    plus the per-frame sample peak. Shard-local math — the
+    sequence-parallel path (parallel/sp_compat.py) computes these on each
+    shard and all-gathers the tiny [F] vectors."""
+    FL, c = xp.shape
+    F = FL // L
+    xk2 = (xk * xk).reshape(F, L, c)
+    t_rel = jnp.arange(L, dtype=xp.dtype) / L
+    M0 = jnp.sum(xk2, axis=(1, 2))                         # Σ xk²
+    M1 = jnp.einsum("flc,l->f", xk2, t_rel)                # Σ xk²·(t/L)
+    M2 = jnp.einsum("flc,l->f", xk2, t_rel * t_rel)        # Σ xk²·(t/L)²
+    peak = jnp.max(jnp.abs(xp).reshape(F, L * c), axis=1)
+    return M0, M1, M2, peak
+
+
+def _controller_gains(M0, M1, M2, peak, L: int, F_eff, blk_valid,
+                      target_i, target_tp, target_lra,
+                      measured_i, measured_thresh, offset):
+    """The dynamic controller on the [F] frame axis: per-frame applied
+    gains (g0 at each frame's head, g1 at its tail, linearly interpolated
+    across the frame's samples by the caller).
 
     Implements the black-box-pinned af_loudnorm dynamic spec (see
     tests/oracles.py:loudnorm_dynamic_gains for the sequential float64
@@ -121,49 +140,27 @@ def _dynamic_jit(x, sample_rate, target_i, target_tp, target_lra,
         sequential state remains;
       * the EOF flush freezes the delta ring, so gains are constant from
         frame F−28 on — an index clamp.
-    """
-    from ame_tpu.ops.loudness import _measure_jit
-    n, c = x.shape
-    L = int(round(FRAME_S * sample_rate))
-    F = -(-n // L)
-    pad = F * L - n
-    xp = jnp.pad(x, ((0, pad), (0, 0)))
 
-    # ---- per-frame input measurement ------------------------------------
-    sos = design.k_weighting_sos(sample_rate)
-    xk, _ = sosfilt_scan(sos, xp)
-    xk2 = (xk * xk).reshape(F, L, c)
-    t_rel = jnp.arange(L, dtype=x.dtype) / L
-    # interpolation moments: output frame power under a linear gain ramp
-    # g(t) = g0 + (g1-g0)·t/L is g0²·M0 + 2·g0·(g1-g0)·M1 + (g1-g0)²·M2
-    M0 = jnp.sum(xk2, axis=(1, 2))                         # Σ xk²
-    M1 = jnp.einsum("flc,l->f", xk2, t_rel)                # Σ xk²·(t/L)
-    M2 = jnp.einsum("flc,l->f", xk2, t_rel * t_rel)        # Σ xk²·(t/L)²
-    cs = jnp.concatenate([jnp.zeros((1,), x.dtype), jnp.cumsum(M0)])
+    Pure [F]-domain math, shared verbatim by the single-chip engine
+    (``_dynamic_jit``) and the sequence-parallel compat path, which runs
+    it replicated on all-gathered frame moments.
+    """
+    dt = M0.dtype
+    F = M0.shape[0]
+    cs = jnp.concatenate([jnp.zeros((1,), dt), jnp.cumsum(M0)])
     # short-term input loudness: trailing 3 s (30 hops) per frame
     st_sum = cs[RING:] - cs[:-RING]
     st_in = jnp.concatenate([
-        jnp.full((RING - 1,), -1e9, x.dtype),
+        jnp.full((RING - 1,), -1e9, dt),
         _power_to_lufs(st_sum / (RING * L))])             # [F]
-    peak = jnp.max(jnp.abs(xp).reshape(F, L * c), axis=1)
-
-    # number of REAL frames (track end = EOF for the controller)
-    if n_valid is None:
-        F_eff = jnp.asarray(F, jnp.int32)
-        blk_valid = jnp.ones((F,), bool)
-    else:
-        F_eff = -((-jnp.asarray(n_valid, jnp.int32)) // L)
-        # blocks past the true track end never enter the histogram (the
-        # padding is zeros anyway; the mask also drops the boundary block)
-        blk_valid = (jnp.arange(F) + 1) * L <= n_valid
 
     # input-side gating blocks (400 ms, one per hop): block ending at f
     blk_sum = cs[4:] - cs[:-4]
     blk_lufs = jnp.concatenate([
-        jnp.full((3,), -1e9, x.dtype),
+        jnp.full((3,), -1e9, dt),
         _power_to_lufs(blk_sum / (4 * L))])               # [F]
 
-    bin_lufs = jnp.asarray(_hist_centers(), x.dtype)
+    bin_lufs = jnp.asarray(_hist_centers(), dt)
     bin_power = 10.0 ** ((bin_lufs + 0.691) / 10.0)
     blk_idx = jnp.clip(((blk_lufs - _HIST_LO) / _HIST_STEP).astype(
         jnp.int32), 0, _NBINS - 1)
@@ -206,13 +203,13 @@ def _dynamic_jit(x, sample_rate, target_i, target_tp, target_lra,
     ccount = jnp.cumsum(creep)
     d_pre = delta0 * 1.0058 ** ccount                              # [FE]
 
-    w = jnp.asarray(_gauss_weights(), x.dtype)
+    w = jnp.asarray(_gauss_weights(), dt)
     ceil_lin = 10.0 ** (target_tp / 20.0)
 
     def smooth_gains(delta):
         # gain[f] reads deltas[f-2 .. f+18] (the window TRAILS by 2 — fit
         # on the real filter's transition timing); freeze from F_eff-28
-        dpad = jnp.concatenate([jnp.full((2,), delta0, x.dtype), delta])
+        dpad = jnp.concatenate([jnp.full((2,), delta0, dt), delta])
         gext = sum(w[j] * lax.dynamic_slice_in_dim(dpad, j, F + 1)
                    for j in range(GAUSS_TAPS))                     # [F+1]
         fidx = jnp.minimum(jnp.arange(F), jnp.maximum(F_eff - 28, 0))
@@ -225,7 +222,7 @@ def _dynamic_jit(x, sample_rate, target_i, target_tp, target_lra,
     g0_pre, g1_pre = smooth_gains(d_pre)
     dg = g1_pre - g0_pre
     out_pow_pre = g0_pre * g0_pre * M0 + 2 * g0_pre * dg * M1 + dg * dg * M2
-    cso = jnp.concatenate([jnp.zeros((1,), x.dtype),
+    cso = jnp.concatenate([jnp.zeros((1,), dt),
                            jnp.cumsum(out_pow_pre)])
     farr = jnp.arange(F)
     lo = jnp.maximum(farr - (RING - 1), 0)
@@ -250,12 +247,50 @@ def _dynamic_jit(x, sample_rate, target_i, target_tp, target_lra,
 
     delta = jnp.where(karr < jnp.maximum(latch_k, RING), d_pre, cand)
 
-    g0, g1 = smooth_gains(delta)
+    return smooth_gains(delta)
 
-    # apply the per-frame linearly interpolated gains
+
+def _valid_frames(F: int, L: int, n_valid):
+    """(F_eff, blk_valid) — the number of REAL frames (track end = EOF for
+    the controller) and the per-frame histogram mask. Blocks past the true
+    track end never enter the histogram (the padding is zeros anyway; the
+    mask also drops the boundary block)."""
+    if n_valid is None:
+        return jnp.asarray(F, jnp.int32), jnp.ones((F,), bool)
+    F_eff = -((-jnp.asarray(n_valid, jnp.int32)) // L)
+    return F_eff, (jnp.arange(F) + 1) * L <= n_valid
+
+
+def apply_frame_gains(xp, g0, g1, L: int):
+    """Apply per-frame linearly interpolated gains to [F·L, C] audio."""
+    FL, c = xp.shape
+    F = FL // L
+    t_rel = jnp.arange(L, dtype=xp.dtype) / L
     gain_samples = (g0[:, None] + (g1 - g0)[:, None] * t_rel[None, :])
-    y = (xp.reshape(F, L, c) * gain_samples[:, :, None]).reshape(F * L, c)
-    y = y[:n]
+    return (xp.reshape(F, L, c) * gain_samples[:, :, None]).reshape(FL, c)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _dynamic_jit(x, sample_rate, target_i, target_tp, target_lra,
+                 measured_i, measured_thresh, offset, n_valid=None):
+    """Frame-adaptive normalization of [N, C] audio. Returns
+    (y, output_i, output_thresh) with y the same length as x.
+    Measurement (``_frame_moments``) + controller (``_controller_gains``)
+    + interpolated gain application + output-side stats."""
+    from ame_tpu.ops.loudness import _measure_jit
+    n, c = x.shape
+    L = int(round(FRAME_S * sample_rate))
+    F = -(-n // L)
+    xp = jnp.pad(x, ((0, F * L - n), (0, 0)))
+
+    sos = design.k_weighting_sos(sample_rate)
+    xk, _ = sosfilt_scan(sos, xp)
+    M0, M1, M2, peak = _frame_moments(xp, xk, L)
+    F_eff, blk_valid = _valid_frames(F, L, n_valid)
+    g0, g1 = _controller_gains(M0, M1, M2, peak, L, F_eff, blk_valid,
+                               target_i, target_tp, target_lra,
+                               measured_i, measured_thresh, offset)
+    y = apply_frame_gains(xp, g0, g1, L)[:n]
 
     # output-side stats, measured on the actual output (ffmpeg's r128_out)
     output_i, _, output_thresh = _measure_jit(y, sample_rate, n_valid)

@@ -1,0 +1,421 @@
+"""Sequence-parallel COMPAT mastering: the reference-semantics chain
+(audio_mastering_engine.py:185-223 — analog character -> EQ -> width ->
+multiband -> loudnorm -> alimiter, with the Appendix-A quirks) on one long
+track sharded over the mesh time axis.
+
+The compat chain turns out to parallelize *better* than the quality chain,
+because the reference's own 30 s chunk resets (quirk Q6) cut every DSP
+recurrence at chunk boundaries:
+
+  * analog / EQ / width / multiband (``compat_chunked=True``) — when each
+    shard owns whole 30 s chunks, the per-chunk state resets make these
+    stages EXACTLY shard-local: zero communication, the unmodified
+    single-chip stage ops run on each shard (ops/saturate.py, ops/eq.py,
+    graph/multiband.py — including the exact pydub gain engine);
+  * unchunked compat EQ — each quirk filter's SOS core runs through the
+    exact sequence-parallel IIR (parallel/sequence.py) and the Q1-Q3
+    blend math is memoryless, shard-local;
+  * loudnorm two-pass (ops/loudnorm.py semantics) — per-frame K-weighted
+    moments reduce shard-locally; the tiny [F] frame vectors are
+    all-gathered (GSPMD inserts the collective) and the dynamic
+    controller (``ops.loudnorm._controller_gains`` — the same code the
+    single-chip path and the ffmpeg golden tests run) is replicated;
+    per-frame gains then apply shard-locally. Pass-1's tail double-count
+    (the flush re-measure, see loudnorm_pass1) is emulated on the hop
+    grid: exact for hop-aligned track lengths, <0.05 LU otherwise;
+    the duplicated tail reuses the already-K-filtered hop energies, so
+    the concat-seam filter transient of the single-chip form (one 400 ms
+    block, ~0.01 LU) is absent here.
+  * alimiter — ffmpeg's attack/release ramps are tangent-piece (max, x)
+    scans (ops/limiter.py); each piece gets an EXACT cross-shard carry:
+    per-shard zero-state scan ends are all-gathered and every shard takes
+    max_j rho^((s-1-j)*Ln) e_j (release, left-to-right) or the mirrored
+    form (attack, right-to-left) — the unrolled boundary recurrence, the
+    same construction as the sp multiband release carry.
+
+Communication volume is independent of track length: one [ndev, k, C, 2]
+carry gather per unchunked IIR cascade, ~4 gathers of [F] frame vectors
+for loudnorm, and 12 scalar gathers for the alimiter pieces.
+
+Use via ``parallel.sp_master.master_sequence_parallel`` with
+``settings.mode == "compat"``.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # jax < 0.6
+    from jax.experimental.shard_map import shard_map
+
+from ame_tpu import config as C
+from ame_tpu.dsp import design
+from ame_tpu.ops import eq, quantize, saturate, stereo
+from ame_tpu.ops import loudness as L
+from ame_tpu.ops import loudnorm as LN
+from ame_tpu.ops.window import release_scan
+from ame_tpu.ops.limiter import _wedge_pieces
+from ame_tpu.parallel.sequence import sosfilt_sequence_parallel
+from ame_tpu.parallel.sp_master import _true_peak_sharded
+
+
+def _shard_map_local(fn, mesh: Mesh, axis: str):
+    """shard_map a purely shard-local body (no collectives) with the
+    varying-manual-axes check off: the single-chip stage ops scanned
+    inside (lax.scan with constant init carries) were not written with
+    vma annotations, and with no cross-shard communication the check has
+    nothing to catch."""
+    specs = dict(mesh=mesh, in_specs=P(axis, None),
+                 out_specs=P(axis, None))
+    try:
+        return shard_map(fn, check_vma=False, **specs)
+    except TypeError:  # older jax spells it check_rep
+        return shard_map(fn, check_rep=False, **specs)
+
+
+# ---------------------------------------------------------------------------
+# Chunk-local pre stages (analog -> EQ -> width -> multiband)
+# ---------------------------------------------------------------------------
+
+def _pre_stages_chunked(x, settings, sample_rate: float, chunk_len: int,
+                        mesh: Mesh, axis: str, *, analog_on, width_on,
+                        multiband_on, comp_exact=True):
+    """Quirk-faithful pre stages on whole chunks per shard — EXACT: the
+    Q6 chunk resets mean no state crosses a chunk boundary, so when
+    ``local_n % chunk_len == 0`` each shard runs the unmodified
+    single-chip stage ops (graph/chain.py:_stage_*_compat) on its own
+    chunks with zero communication."""
+    sr = float(sample_rate)
+    threshs = np.asarray([settings.low_thresh, settings.mid_thresh,
+                          settings.high_thresh], np.float32)
+    ratios = np.asarray([settings.low_ratio, settings.mid_ratio,
+                         settings.high_ratio], np.float32)
+
+    def local(xl):
+        y = xl
+        if analog_on:
+            y = saturate.analog_character_compat(
+                y, sr, jnp.float32(settings.analog_character), chunk_len)
+            y = quantize.int16_roundtrip(y)
+        y = eq.apply_eq_compat(
+            y, sr, jnp.float32(settings.bass_boost),
+            jnp.float32(settings.mid_cut),
+            jnp.float32(settings.presence_boost),
+            jnp.float32(settings.treble_boost), chunk_len)
+        if width_on:
+            y = stereo.stereo_width(y, jnp.float32(settings.width))
+        y = quantize.int16_roundtrip(y)
+        if multiband_on:
+            from ame_tpu.graph import multiband as mb
+            y = mb.multiband_compat(y, sr, jnp.asarray(threshs),
+                                    jnp.asarray(ratios), exact=comp_exact,
+                                    chunk_len=chunk_len)
+        return y
+
+    return jax.jit(_shard_map_local(local, mesh, axis))(x)
+
+
+def _pre_stages_unchunked(x, settings, sample_rate: float, mesh: Mesh,
+                          axis: str, shd, *, analog_on, width_on):
+    """Unchunked compat pre stages: each quirk filter's SOS core through
+    the exact sequence-parallel IIR, blends and int16 requantization
+    shard-local. Multiband is rejected by the caller (the whole-track
+    exact pydub gain engine is a single-chip construct)."""
+    sr = float(sample_rate)
+
+    def _shelf(x, cutoff_hz, gain_db, kind):
+        cutoff_norm = min(cutoff_hz / (0.5 * sr), 0.999999)
+        b, a = design.butter_ba(2, cutoff_norm, kind)
+        sos = design.ba_to_sos_biquad(b, a)
+        f = sosfilt_sequence_parallel(sos, x, mesh, axis)
+        g = jnp.float32(gain_db)
+        return jax.jit(lambda x, f: eq.shelf_blend_compat(x, f, g),
+                       out_shardings=shd)(x, f)
+
+    def _peak(x, center_hz, gain_db, q):
+        sos = design.reference_peak_band_sos(sr, center_hz, q)
+        f = sosfilt_sequence_parallel(sos, x, mesh, axis)
+        g = jnp.float32(gain_db)
+        return jax.jit(lambda x, f: eq.peak_blend_compat(x, f, g),
+                       out_shardings=shd)(x, f)
+
+    rt = jax.jit(quantize.int16_roundtrip, out_shardings=shd)
+    if analog_on:
+        factor = float(settings.analog_character) / 100.0
+        drive = 1.0 + factor * 0.5
+        x = jax.jit(lambda x: jnp.tanh(x * drive), out_shardings=shd)(x)
+        x = _shelf(x, C.ANALOG_LOW_SHELF_HZ, factor * 1.0, "lowpass")
+        x = _shelf(x, C.ANALOG_HIGH_SHELF_HZ, factor * 1.5, "highpass")
+        x = rt(x)
+    # the reference 4-band chain (engine:277-281; mid_cut negated, Q3)
+    x = _shelf(x, C.BASS_SHELF_HZ, float(settings.bass_boost), "lowpass")
+    x = _peak(x, C.MID_PEAK_HZ, -float(settings.mid_cut), C.PEAK_Q)
+    x = _peak(x, C.PRESENCE_PEAK_HZ, float(settings.presence_boost),
+              C.PEAK_Q)
+    x = _shelf(x, C.TREBLE_SHELF_HZ, float(settings.treble_boost),
+               "highpass")
+    if width_on:
+        w = jnp.float32(settings.width)
+        x = jax.jit(lambda x: stereo.stereo_width(x, w),
+                    out_shardings=shd)(x)
+    return rt(x)
+
+
+# ---------------------------------------------------------------------------
+# Sequence-parallel loudnorm two-pass
+# ---------------------------------------------------------------------------
+
+def _loudnorm_sp_two_pass(x, sample_rate: float, target_i: float,
+                          target_tp: float, target_lra: float,
+                          mesh: Mesh, axis: str, shd, n_valid=None):
+    """ops.loudnorm.loudnorm_two_pass on a time-sharded track. The frame
+    controller (``_controller_gains``) runs replicated on all-gathered
+    frame moments — the SAME code as the single-chip / golden-ffmpeg
+    path; only the measurement reductions and gain application are
+    sharded. Requires n % hop == 0 (the sp caller's granule)."""
+    sr = float(sample_rate)
+    hop = int(round(LN.FRAME_S * sr))
+    n = x.shape[0]
+    F = n // hop
+    ndh = int(round(2.9 * sr)) // hop        # 29 hops: the flush re-measure
+    nv = jnp.asarray(n if n_valid is None else n_valid, jnp.int32)
+
+    ksos = design.k_weighting_sos(sr)
+    xk = sosfilt_sequence_parallel(ksos, x, mesh, axis)
+
+    @partial(jax.jit, out_shardings=None)
+    def _frames(x, xk):
+        return LN._frame_moments(x, xk, hop)
+
+    M0, M1, M2, peak = _frames(x, xk)        # replicated [F]
+
+    def _hop_stats(yk, nv):
+        sq = jnp.sum(yk * yk, axis=1)
+        hs = jnp.sum(sq.reshape(F, hop), axis=1)
+        return L.gated_stats_from_hops(hs, hop, nv, yk.dtype)
+
+    @partial(jax.jit, out_shardings=None)
+    def _pass1_stats(M0, nv):
+        # hop-grid emulation of loudnorm_pass1's tail double-count: the
+        # last ~2.9 s of hop energies are appended at the track end
+        nvh = nv // hop
+        buf = jnp.concatenate([M0, jnp.zeros((ndh,), M0.dtype)])
+        tail = lax.dynamic_slice_in_dim(buf, jnp.maximum(nvh - ndh, 0),
+                                        ndh)
+        hed = lax.dynamic_update_slice(buf, tail, (nvh,))
+        return L.gated_stats_from_hops(hed, hop, (nvh + ndh) * hop,
+                                       M0.dtype)
+
+    input_i, input_lra, input_thresh = _pass1_stats(M0, nv)
+    input_tp = 20.0 * jnp.log10(jnp.maximum(
+        _true_peak_sharded(x, mesh, axis, n_valid), 1e-12))
+
+    ti = jnp.asarray(target_i, x.dtype)
+    tp = jnp.asarray(target_tp, x.dtype)
+    lra = jnp.asarray(target_lra, x.dtype)
+
+    @partial(jax.jit, out_shardings=None)
+    def _gains_pass1(M0, M1, M2, peak, nv):
+        F_eff, blk_valid = LN._valid_frames(F, hop, nv)
+        # pass-1 dynamic run: ffmpeg's unmeasured option defaults
+        return LN._controller_gains(
+            M0, M1, M2, peak, hop, F_eff, blk_valid, ti, tp, lra,
+            jnp.asarray(0.0, x.dtype), jnp.asarray(-70.0, x.dtype),
+            jnp.asarray(0.0, x.dtype))
+
+    g0a, g1a = _gains_pass1(M0, M1, M2, peak, nv)
+    apply_g = jax.jit(lambda x, g0, g1: LN.apply_frame_gains(x, g0, g1,
+                                                             hop),
+                      out_shardings=shd)
+    y1 = apply_g(x, g0a, g1a)
+    yk1 = sosfilt_sequence_parallel(ksos, y1, mesh, axis)
+    out1_i, _, out1_th = jax.jit(_hop_stats, out_shardings=None)(yk1, nv)
+    target_offset = ti - out1_i
+
+    # ---- pass 2: the linear gates, else the dynamic engine ---------------
+    gain_db = ti - input_i
+    supplied = ((input_tp != 99.0) & (input_thresh != -70.0)
+                & (input_lra != 0.0) & (input_i != 0.0))
+    lin_ok = supplied & (input_tp + gain_db <= tp) & (input_lra <= lra)
+    silent = ~jnp.isfinite(input_i)
+
+    @partial(jax.jit, out_shardings=None)
+    def _gains_pass2(M0, M1, M2, peak, nv, m_i, m_th, offset):
+        F_eff, blk_valid = LN._valid_frames(F, hop, nv)
+        return LN._controller_gains(M0, M1, M2, peak, hop, F_eff,
+                                    blk_valid, ti, tp, lra, m_i, m_th,
+                                    offset)
+
+    g0d, g1d = _gains_pass2(M0, M1, M2, peak, nv, input_i, input_thresh,
+                            target_offset)
+    glin = 10.0 ** (gain_db / 20.0)
+    one = jnp.ones((), x.dtype)
+    g0 = jnp.where(silent, one, jnp.where(lin_ok, glin, g0d))
+    g1 = jnp.where(silent, one, jnp.where(lin_ok, glin, g1d))
+    y = apply_g(x, jnp.broadcast_to(g0, (F,)), jnp.broadcast_to(g1, (F,)))
+
+    # output-side stats of the actual output (ffmpeg's r128_out)
+    yko = sosfilt_sequence_parallel(ksos, y, mesh, axis)
+    out2_i, _, out2_th = jax.jit(_hop_stats, out_shardings=None)(yko, nv)
+    output_i = jnp.where(lin_ok, input_i + gain_db, out2_i)
+    output_th = jnp.where(lin_ok, input_thresh + gain_db, out2_th)
+
+    info = {"input_i": input_i, "input_lra": input_lra,
+            "input_tp": input_tp, "input_thresh": input_thresh,
+            "target_offset": target_offset,
+            "linear_mode": lin_ok.astype(x.dtype),
+            "gain_db": jnp.where(silent | ~lin_ok, 0.0, gain_db),
+            "output_i": output_i, "output_thresh": output_th}
+    return y, info
+
+
+# ---------------------------------------------------------------------------
+# Sequence-parallel alimiter (exact cross-shard piece carries)
+# ---------------------------------------------------------------------------
+
+def _alimiter_sp(x, sample_rate: float, mesh: Mesh, axis: str,
+                 limit: float = None, attack_ms: float = None,
+                 release_ms: float = None):
+    """ops.limiter.alimiter_compat on a time-sharded track — EXACT.
+
+    Each tangent piece's (max, x) scan gets the unrolled cross-shard
+    boundary carry: release pieces carry left-to-right
+    (c_s = max_{j<s} rho^((s-1-j)·Ln) e_j over all-gathered zero-state
+    shard ends e_j), attack pieces the mirrored right-to-left form. The
+    depth combine, gain, and auto-level scale are memoryless."""
+    sr = float(sample_rate)
+    limit = C.LIMITER_CEILING if limit is None else limit
+    attack_ms = C.LIMITER_ATTACK_MS if attack_ms is None else attack_ms
+    release_ms = C.LIMITER_RELEASE_MS if release_ms is None else release_ms
+    A = max(int(round(attack_ms * sr / 1000.0)), 1)
+    R = max(release_ms * sr / 1000.0, 1.0)
+    pieces_r = _wedge_pieces(R)
+    pieces_a = _wedge_pieces(float(A))
+    scale = 1.0 / limit                      # auto-level, level_in/out = 1
+    ndev = mesh.shape[axis]
+
+    def local(xl):
+        dt = xl.dtype
+        Ln = xl.shape[0]
+        sidx = lax.axis_index(axis)
+        j = jnp.arange(ndev)
+        karr = jnp.arange(1, Ln + 1, dtype=dt)
+        peak = jnp.max(jnp.abs(xl), axis=1)
+        dep = jnp.maximum(0.0, 1.0 - limit / jnp.maximum(peak, 1e-9))
+
+        def scan_dir(u, rho, forward):
+            uu = u if forward else jnp.flip(u)
+            s = release_scan(uu, jnp.asarray(rho, dt))
+            es = lax.all_gather(s[-1], axis)             # [ndev]
+            lr = math.log(max(rho, 1e-300))
+            dist = (sidx - 1 - j) if forward else (j - 1 - sidx)
+            mask = (j < sidx) if forward else (j > sidx)
+            wgt = jnp.where(mask, jnp.exp(
+                jnp.maximum(dist, 0).astype(dt) * (Ln * lr)), 0.0)
+            carry = jnp.max(wgt * es)
+            s = jnp.maximum(s, carry * jnp.exp(karr * lr))
+            return s if forward else jnp.flip(s)
+
+        d_rel = None
+        for a, rho in pieces_r:
+            s = scan_dir(dep * a, rho, True)
+            d_rel = s if d_rel is None else jnp.minimum(d_rel, s)
+        d_att = None
+        for a, rho in pieces_a:
+            s = scan_dir(dep * a, rho, False)
+            d_att = s if d_att is None else jnp.minimum(d_att, s)
+        gain = 1.0 - jnp.maximum(d_rel, d_att)
+        return xl * (gain * scale)[:, None]
+
+    fn = shard_map(local, mesh=mesh, in_specs=P(axis, None),
+                   out_specs=P(axis, None))
+    return jax.jit(fn)(x)
+
+
+# ---------------------------------------------------------------------------
+# The full compat chain
+# ---------------------------------------------------------------------------
+
+def master_compat_sequence_parallel(x: jax.Array, sample_rate: float,
+                                    settings, mesh: Mesh, axis: str = "sp",
+                                    n_valid=None):
+    """Master ONE [N, 2] track with reference-compat semantics, the time
+    axis sharded over ``mesh``. Called by
+    ``sp_master.master_sequence_parallel`` when ``mode == "compat"``.
+
+    Requirements beyond the quality path: with ``compat_chunked`` each
+    shard must own whole 30 s chunks (``local_n % chunk_len == 0`` — the
+    Q6 resets are what make the DSP stages shard-local); unchunked compat
+    supports the non-multiband chain (the whole-track exact pydub gain
+    engine stays single-chip). The track must be >= 3.1 s (the loudnorm
+    controller's priming window)."""
+    from ame_tpu.config import MasterSettings
+    if isinstance(settings, dict):
+        settings = MasterSettings.from_dict(settings)
+    (mode, chunked, multiband_on, analog_on, width_on, lufs_on,
+     mb_edges) = settings.structure_key()
+    assert mode == "compat"
+    if mb_edges is not None:
+        raise ValueError("mb_edges (G-band multiband) is quality-mode "
+                         "only; compat mode is pinned to the reference's "
+                         "3-band stage")
+    sr = float(sample_rate)
+    ndev = mesh.shape[axis]
+    n = x.shape[0]
+    if n % ndev:
+        raise ValueError(f"N={n} not divisible by {ndev} shards")
+    local_n = n // ndev
+    hop = int(round(0.100 * sr))
+    if lufs_on:
+        if local_n % hop:
+            raise ValueError(
+                f"shard length {local_n} must be a multiple of the 100 ms "
+                f"hop ({hop} samples) when lufs is set")
+        if n < (LN.RING + 1) * hop:
+            raise ValueError("compat loudnorm needs >= 3.1 s of audio; "
+                             "use the single-chip graph for short tracks")
+    chunk_len = int(C.COMPAT_CHUNK_SECONDS * sr)
+    if chunked and local_n % chunk_len:
+        raise ValueError(
+            f"shard length {local_n} must own whole "
+            f"{C.COMPAT_CHUNK_SECONDS:g} s chunks ({chunk_len} samples) "
+            f"in chunked compat mode (the Q6 resets make the stages "
+            f"shard-local); pad to ndev*chunk_len or use "
+            f"master_sequence_parallel_padded")
+    if not chunked and multiband_on:
+        raise NotImplementedError(
+            "unchunked compat multiband is not sequence-parallel (the "
+            "whole-track exact pydub gain engine is a single-chip "
+            "construct); set compat_chunked=True — the reference itself "
+            "always chunks — or use a single chip")
+
+    shd = NamedSharding(mesh, P(axis, None))
+    x = jax.device_put(x, shd)
+
+    if chunked:
+        x = _pre_stages_chunked(
+            x, settings, sr, chunk_len, mesh, axis, analog_on=analog_on,
+            width_on=width_on, multiband_on=multiband_on)
+    else:
+        x = _pre_stages_unchunked(
+            x, settings, sr, mesh, axis, shd, analog_on=analog_on,
+            width_on=width_on)
+
+    info = {}
+    if lufs_on:
+        x, info = _loudnorm_sp_two_pass(
+            x, sr, float(settings.lufs), float(settings.target_tp),
+            float(settings.target_lra), mesh, axis, shd, n_valid)
+        # ffmpeg pass-2 writes pcm_s16le (graph/chain._stage_normalize)
+        x = jax.jit(quantize.int16_roundtrip, out_shardings=shd)(x)
+
+    y = _alimiter_sp(x, sr, mesh, axis)
+    return y, info

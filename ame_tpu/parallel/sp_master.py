@@ -297,9 +297,14 @@ def master_sequence_parallel(x: jax.Array, sample_rate: float, settings,
     from ame_tpu.config import MasterSettings
     if isinstance(settings, dict):
         settings = MasterSettings.from_dict(settings)
+    if settings.mode == "compat":
+        from ame_tpu.parallel.sp_compat import (
+            master_compat_sequence_parallel)
+        return master_compat_sequence_parallel(x, sample_rate, settings,
+                                               mesh, axis=axis,
+                                               n_valid=n_valid)
     if settings.mode != "quality":
-        raise NotImplementedError("sequence-parallel mastering is "
-                                  "quality-mode only")
+        raise ValueError(f"unknown mode {settings.mode!r}")
     ndev = mesh.shape[axis]
     n = x.shape[0]
     if n % ndev:
@@ -350,31 +355,7 @@ def master_sequence_parallel(x: jax.Array, sample_rate: float, settings,
             hs = jnp.sum(sq[: n_hops * hop].reshape(n_hops, hop), axis=1)
             nv = (jnp.asarray(x.shape[0], jnp.int32) if n_valid is None
                   else jnp.asarray(n_valid, jnp.int32))
-            # integrated: 400 ms blocks on the 100 ms hop grid; blocks
-            # extending into trailing padding are masked, exactly as
-            # ops.loudness._gating_block_powers does with n_valid
-            csum = jnp.concatenate([jnp.zeros((1,), hs.dtype),
-                                    jnp.cumsum(hs)])
-            nb_m = n_hops - 4 + 1
-            p_m = (csum[4:4 + nb_m] - csum[:nb_m]) / (hop * 4)
-            v_m = (jnp.arange(nb_m) + 4) * hop <= nv
-            integrated, rel_thresh = L._integrated_gate(p_m, v_m)
-            # LRA: 3 s blocks at a 1 s hop, assembled from the same grid
-            hps = int(round(1.0 / 0.100))     # hops per second
-            n_sec = n_hops // hps
-            if n_sec >= 3:
-                hs_s = jnp.sum(hs[: n_sec * hps].reshape(n_sec, hps),
-                               axis=1)
-                csum_s = jnp.concatenate([jnp.zeros((1,), hs.dtype),
-                                          jnp.cumsum(hs_s)])
-                nb_s = n_sec - 3 + 1
-                p_s = ((csum_s[3:3 + nb_s] - csum_s[:nb_s])
-                       / (hop * hps * 3))
-                v_s = (jnp.arange(nb_s) + 3) * (hop * hps) <= nv
-                lra = L._lra_gate(p_s, v_s, x.dtype)
-            else:
-                lra = jnp.asarray(0.0, x.dtype)
-            return integrated, lra, rel_thresh
+            return L.gated_stats_from_hops(hs, hop, nv, x.dtype)
 
         integrated, lra, rel_thresh = _measure_stats(yk, x, sample_rate)
         tp = 20.0 * jnp.log10(jnp.maximum(
@@ -405,7 +386,12 @@ def master_sequence_parallel_padded(x: jax.Array, sample_rate: float,
         settings = MasterSettings.from_dict(settings)
     ndev = mesh.shape[axis]
     hop = int(round(0.100 * sample_rate))
-    granule = ndev * (hop if settings.lufs is not None else 1)
+    unit = hop if settings.lufs is not None else 1
+    if settings.mode == "compat" and settings.compat_chunked:
+        # chunked compat shards own whole 30 s chunks (Q6 resets make the
+        # DSP stages shard-local); the chunk is a hop multiple
+        unit = int(C.COMPAT_CHUNK_SECONDS * sample_rate)
+    granule = ndev * unit
     n = x.shape[0]
     n_pad = -(-n // granule) * granule
     xp = jnp.pad(jnp.asarray(x), ((0, n_pad - n), (0, 0)))

@@ -27,6 +27,23 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop live-executable references between test modules.
+
+    On this host, loading one more XLA:CPU executable into a process that
+    already holds several hundred (a full-suite run) intermittently makes
+    the loader request a ~180 GiB allocation, which the kernel denies
+    (__vm_enough_memory) and the process dies with SIGSEGV — reproduced
+    both on the fresh-compile path (compiler.backend_compile_and_load)
+    and the persistent-cache read path (get_executable_and_time), and
+    absent in a fresh process for the same program. Clearing per module
+    keeps the live-executable count bounded; the persistent compile cache
+    makes the re-loads cheap."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -173,7 +173,7 @@ def test_sp_master_guards():
 
     mesh = make_mesh({"sp": 8})
     x = jnp.zeros((8 * 4410, 2), jnp.float32)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):  # compat loudnorm needs >= 3.1 s
         master_sequence_parallel(x, 44100, MasterSettings(mode="compat"),
                                  mesh)
     with pytest.raises(ValueError):  # 8 shards of 4409.875 samples
@@ -311,3 +311,126 @@ def test_sp_master_gband_multiband():
     y_1, _ = master_graph(jnp.asarray(x), sr, s)
     np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_1),
                                atol=5e-4, rtol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Sequence-parallel COMPAT mode
+# ---------------------------------------------------------------------------
+
+def test_sp_alimiter_matches_single_chip():
+    """Exact cross-shard (max,x) piece carries: the sp alimiter must
+    reproduce ops.limiter.alimiter_compat to float rounding."""
+    from ame_tpu.ops.limiter import alimiter_compat
+    from ame_tpu.parallel.sp_compat import _alimiter_sp
+
+    sr = 8000
+    n = 8 * 4000
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal((n, 2)) * 0.4).astype(np.float32)
+    x[n // 3: n // 3 + 600] *= 4.0          # hard limiting episode
+    x[2 * n // 3] = 3.0                     # isolated spike (attack side)
+    mesh = make_mesh({"sp": 8})
+    y_sp = np.asarray(_alimiter_sp(jnp.asarray(x), sr, mesh, "sp"))
+    y_1 = np.asarray(alimiter_compat(jnp.asarray(x), sr))
+    np.testing.assert_allclose(y_sp, y_1, atol=2e-6, rtol=1e-5)
+
+
+def test_sp_compat_chunked_matches_single_chip(monkeypatch):
+    """Chunked compat (Q6 resets) over the mesh: analog+EQ+width+multiband
+    stages run shard-local on whole chunks, loudnorm's controller runs
+    replicated on gathered frame moments, alimiter carries are exact."""
+    import ame_tpu.config as config
+    from ame_tpu.config import MasterSettings
+    from ame_tpu.graph.chain import master_graph
+    from ame_tpu.parallel.sp_master import master_sequence_parallel
+
+    monkeypatch.setattr(config, "COMPAT_CHUNK_SECONDS", 1.0)
+    sr = 16000                               # crossovers < Nyquist
+    n = 8 * sr                               # 8 shards x 1 chunk
+    x = make_test_signal("noise", n, sr, seed=11) * 0.15
+    t = np.arange(n) / sr
+    x[:, 0] += 0.2 * np.sin(2 * np.pi * 120.0 * t)
+    x[:, 1] += 0.2 * np.sin(2 * np.pi * 120.0 * t + 0.2)
+    x = np.clip(x, -0.99, 0.99).astype(np.float32)
+    x = np.trunc(x * 32767.0) / 32768.0      # int16-grid input (compat io)
+
+    s = MasterSettings(analog_character=20.0, bass_boost=2.0, width=1.2,
+                       multiband=True, low_thresh=-28.0, mid_thresh=-26.0,
+                       high_thresh=-28.0, lufs=-14.0, mode="compat",
+                       compat_chunked=True)
+    mesh = make_mesh({"sp": 8})
+    y_sp, info_sp = master_sequence_parallel(jnp.asarray(x), sr, s, mesh)
+    y_1, info_1 = master_graph(jnp.asarray(x), sr, s)
+    for k in ("input_i", "input_thresh", "gain_db", "target_offset"):
+        assert abs(float(info_sp[k]) - float(info_1[k])) < 5e-2, k
+    assert float(info_sp["linear_mode"]) == float(info_1["linear_mode"])
+    np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_1),
+                               atol=2e-3, rtol=5e-3)
+
+
+def test_sp_compat_unchunked_eq_lufs():
+    """Unchunked compat (no multiband): quirk filters through the exact
+    sp IIR, blends shard-local."""
+    from ame_tpu.config import MasterSettings
+    from ame_tpu.graph.chain import master_graph
+    from ame_tpu.parallel.sp_master import master_sequence_parallel
+
+    sr = 8000
+    n = 8 * 4000                             # 4 s
+    x = make_test_signal("sweep", n, sr, seed=3) * 0.3
+    x[:, 1] *= 0.7
+    x = (np.trunc(x * 32767.0) / 32768.0).astype(np.float32)
+    s = MasterSettings(bass_boost=3.0, mid_cut=1.0, presence_boost=2.0,
+                       treble_boost=1.0, width=1.3, lufs=-16.0,
+                       mode="compat")
+    mesh = make_mesh({"sp": 8})
+    y_sp, info_sp = master_sequence_parallel(jnp.asarray(x), sr, s, mesh)
+    y_1, info_1 = master_graph(jnp.asarray(x), sr, s)
+    assert abs(float(info_sp["input_i"]) - float(info_1["input_i"])) < 5e-2
+    np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_1),
+                               atol=2e-3, rtol=5e-3)
+
+
+def test_sp_compat_dynamic_mode(monkeypatch):
+    """Hot content trips the linear gates -> the dynamic controller path
+    must match single-chip (same replicated controller code)."""
+    import ame_tpu.config as config
+    from ame_tpu.config import MasterSettings
+    from ame_tpu.graph.chain import master_graph
+    from ame_tpu.parallel.sp_master import master_sequence_parallel
+
+    monkeypatch.setattr(config, "COMPAT_CHUNK_SECONDS", 1.0)
+    sr = 16000
+    n = 8 * sr
+    t = np.arange(n) / sr
+    # quiet program + a hot transient: the pass-2 gain is strongly
+    # positive and the true-peak gate fails -> dynamic engine
+    x = np.stack([0.05 * np.sin(2 * np.pi * 330.0 * t),
+                  0.05 * np.sin(2 * np.pi * 331.0 * t)], 1)
+    x[3 * n // 5: 3 * n // 5 + 64] = 0.9
+    x = (np.trunc(np.clip(x, -1, 1) * 32767.0) / 32768.0).astype(np.float32)
+    s = MasterSettings(lufs=-14.0, mode="compat", compat_chunked=True)
+    mesh = make_mesh({"sp": 8})
+    y_sp, info_sp = master_sequence_parallel(jnp.asarray(x), sr, s, mesh)
+    y_1, info_1 = master_graph(jnp.asarray(x), sr, s)
+    assert float(info_1["linear_mode"]) == 0.0   # gates must actually fail
+    assert float(info_sp["linear_mode"]) == 0.0
+    assert abs(float(info_sp["output_i"]) - float(info_1["output_i"])) < 5e-2
+    np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_1),
+                               atol=2e-3, rtol=5e-3)
+
+
+def test_sp_compat_guards():
+    from ame_tpu.config import MasterSettings
+    from ame_tpu.parallel.sp_master import master_sequence_parallel
+
+    mesh = make_mesh({"sp": 8})
+    x = jnp.zeros((8 * 800, 2), jnp.float32)
+    with pytest.raises(ValueError):   # shard not a whole-chunk multiple
+        master_sequence_parallel(
+            x, 8000.0, MasterSettings(mode="compat", compat_chunked=True,
+                                      lufs=None), mesh)
+    with pytest.raises(NotImplementedError):  # unchunked compat multiband
+        master_sequence_parallel(
+            x, 8000.0, MasterSettings(mode="compat", multiband=True,
+                                      lufs=None), mesh)

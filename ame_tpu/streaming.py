@@ -56,10 +56,6 @@ def _coerce_settings(settings):
         return MasterSettings()
     if not isinstance(settings, MasterSettings):
         settings = MasterSettings.from_dict(dict(settings))
-    if settings.mb_edges is not None:
-        raise NotImplementedError("G-band multiband (mb_edges) is offline-"
-                                  "graph only; streaming keeps the 3-band "
-                                  "stage")
     return settings
 
 
@@ -85,10 +81,15 @@ def _eq_sos(p, sample_rate, dt, peak_q=1.41):
     ]).astype(dt)
 
 
-def _mb_sos_np(sample_rate):
-    """The 3 crossover cascades as host numpy (identical composition to the
-    offline tile-conv bank in graph/multiband.py: mid = LP4k∘HP250,
-    high = HP4k∘HP250)."""
+def _mb_sos_np(sample_rate, mb_edges=None):
+    """The crossover cascades as host numpy. Default: the 3-band split
+    (identical composition to the offline tile-conv bank in
+    graph/multiband.py: mid = LP4k∘HP250, high = HP4k∘HP250).
+    ``mb_edges``: the G-band allpass-compensated LR4 tree (same cascades
+    as the offline ``multiband_quality_n``)."""
+    if mb_edges is not None:
+        from ame_tpu.graph.multiband import _band_cascades_n
+        return tuple(_band_cascades_n(sample_rate, tuple(mb_edges)))
     lo = design.linkwitz_riley_sos(4, C.MB_LOW_CROSSOVER_HZ, "lowpass",
                                    sample_rate)
     hp = design.linkwitz_riley_sos(4, C.MB_LOW_CROSSOVER_HZ, "highpass",
@@ -100,17 +101,17 @@ def _mb_sos_np(sample_rate):
     return (lo, np.concatenate([hp, lp4k]), np.concatenate([hp, hp4k]))
 
 
-def _mb_stream(y, state, new_state, p, sr):
+def _mb_stream(y, state, new_state, p, sr, mb_edges=None):
     """Streaming multiband compression (exact ops/compressor
-    ``compress_quality_multi`` semantics): crossover zi, detector-window
-    history, release seed, and attack-smoother zi all carry across chunks,
-    so the chunked result equals the offline stage bit-for-bit up to f32
-    scan rounding. Adds no latency (the quality compressor has no
-    lookahead)."""
+    ``compress_quality_multi`` semantics, 3-band or G-band): crossover zi,
+    detector-window history, release seed, and attack-smoother zi all
+    carry across chunks, so the chunked result equals the offline stage
+    bit-for-bit up to f32 scan rounding. Adds no latency (the quality
+    compressor has no lookahead)."""
     n = y.shape[0]
     rms_w = max(int(C.MB_RMS_MS * sr / 1000.0), 1)
     bands = []
-    for i, sos in enumerate(_mb_sos_np(sr)):
+    for i, sos in enumerate(_mb_sos_np(sr, mb_edges)):
         b, new_state[f"zi_mb{i}"] = sosfilt_scan(sos, y,
                                                  zi=state[f"zi_mb{i}"])
         bands.append(b)
@@ -134,7 +135,7 @@ def _mb_stream(y, state, new_state, p, sr):
     new_state["mb_sq_hist"] = seq[seq.shape[0] - (rms_w - 1):]
     new_state["mb_n_seen"] = state["mb_n_seen"] + n
     new_state["mb_u_prev"] = gr_rel[-1]
-    return sum(bands[g] * gains[:, g][:, None] for g in range(3))
+    return sum(bands[g] * gains[:, g][:, None] for g in range(len(bands)))
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5, 6))
@@ -145,7 +146,7 @@ def _stream_step(x, state, p, sr, A, phase, structure):
     over [past(A-1) | pend(A-1) | new] context and emits every sample whose
     lookahead window is complete.
     """
-    analog_on, width_on, multiband_on = structure
+    analog_on, width_on, multiband_on, mb_edges = structure
 
     new_state = dict(state)
     if phase != "flush":
@@ -160,7 +161,7 @@ def _stream_step(x, state, p, sr, A, phase, structure):
         if width_on:
             y = stereo_width_quality(y, p["width"])
         if multiband_on:
-            y = _mb_stream(y, state, new_state, p, sr)
+            y = _mb_stream(y, state, new_state, p, sr, mb_edges)
         y = y * 10.0 ** (p["gain_db"] / 20.0)
     else:
         y = x
@@ -220,9 +221,20 @@ class StreamingMaster:
         settings = _coerce_settings(settings)
         self.sample_rate = float(sample_rate)
         self.attack = max(int(C.LIMITER_ATTACK_MS * sample_rate / 1000.0), 1)
+        mb_edges = (tuple(float(e) for e in settings.mb_edges)
+                    if settings.mb_edges is not None else None)
+        multiband_on = bool(settings.multiband) or mb_edges is not None
         self._structure = (settings.analog_character != 0,
-                           settings.width != 1.0,
-                           bool(settings.multiband))
+                           settings.width != 1.0, multiband_on, mb_edges)
+        if mb_edges is not None:
+            G = len(mb_edges) + 1
+            threshs = settings.mb_thresholds or (-20.0,) * G
+            ratios = settings.mb_ratios or (3.0,) * G
+        else:
+            threshs = (settings.low_thresh, settings.mid_thresh,
+                       settings.high_thresh)
+            ratios = (settings.low_ratio, settings.mid_ratio,
+                      settings.high_ratio)
         self._p = {
             "analog": jnp.float32(settings.analog_character),
             "bass": jnp.float32(settings.bass_boost),
@@ -231,10 +243,8 @@ class StreamingMaster:
             "treble": jnp.float32(settings.treble_boost),
             "width": jnp.float32(settings.width),
             "gain_db": jnp.float32(gain_db),
-            "threshs": jnp.asarray([settings.low_thresh, settings.mid_thresh,
-                                    settings.high_thresh], jnp.float32),
-            "ratios": jnp.asarray([settings.low_ratio, settings.mid_ratio,
-                                   settings.high_ratio], jnp.float32),
+            "threshs": jnp.asarray(threshs, jnp.float32),
+            "ratios": jnp.asarray(ratios, jnp.float32),
         }
         A = self.attack
         self._state = {
@@ -244,16 +254,18 @@ class StreamingMaster:
             "pend": jnp.zeros((A - 1, 2), jnp.float32),
             "u_prev": jnp.zeros((), jnp.float32),
         }
-        if settings.multiband:
+        if multiband_on:
             rms_w = max(int(C.MB_RMS_MS * sample_rate / 1000.0), 1)
+            cascades = _mb_sos_np(self.sample_rate, mb_edges)
+            G = len(cascades)
+            for i, sos in enumerate(cascades):
+                self._state[f"zi_mb{i}"] = jnp.zeros(
+                    (np.asarray(sos).shape[0], 2, 2), jnp.float32)
             self._state.update({
-                "zi_mb0": jnp.zeros((2, 2, 2), jnp.float32),
-                "zi_mb1": jnp.zeros((4, 2, 2), jnp.float32),
-                "zi_mb2": jnp.zeros((4, 2, 2), jnp.float32),
-                "mb_sq_hist": jnp.zeros((rms_w - 1, 3), jnp.float32),
+                "mb_sq_hist": jnp.zeros((rms_w - 1, G), jnp.float32),
                 "mb_n_seen": jnp.zeros((), jnp.float32),
-                "mb_u_prev": jnp.zeros((3,), jnp.float32),
-                "mb_zi_att": jnp.zeros((3, 2), jnp.float32),
+                "mb_u_prev": jnp.zeros((G,), jnp.float32),
+                "mb_zi_att": jnp.zeros((G, 2), jnp.float32),
             })
         self._first = True
         self._done = False
@@ -320,6 +332,10 @@ class StreamingCompatMaster:
     def __init__(self, sample_rate: float, settings=None,
                  gain_db: float = 0.0):
         settings = _coerce_settings(settings)
+        if settings.mb_edges is not None:
+            raise ValueError("mb_edges (G-band multiband) is quality-mode "
+                             "only; compat streaming is pinned to the "
+                             "reference's 3-band stage")
         self.sample_rate = float(sample_rate)
         self.block_len = int(C.COMPAT_CHUNK_SECONDS * sample_rate)
         self.attack = max(int(C.LIMITER_ATTACK_MS * sample_rate / 1000.0), 1)

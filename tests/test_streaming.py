@@ -217,3 +217,35 @@ class TestCompatStreaming:
         out = sm.flush()
         assert out.shape == x.shape
         assert np.isfinite(out).all()
+
+
+def test_stream_gband_multiband_equals_offline():
+    """Streaming G-band multiband (mb_edges) must equal the offline
+    multiband_quality_n stage — the same allpass-compensated LR4 tree
+    cascades with carried zi."""
+    import jax.numpy as jnp
+    from ame_tpu.graph.multiband import multiband_quality_n
+    from ame_tpu.ops.limiter import lookahead_limiter
+
+    edges = (200.0, 1200.0, 5000.0)
+    threshs = (-32.0, -30.0, -26.0, -24.0)
+    ratios = (4.0, 3.0, 3.0, 5.0)
+    n = 4096 * 3
+    x = _program(n)
+    y = multiband_quality_n(jnp.asarray(x), SR, edges,
+                            jnp.asarray(threshs, jnp.float32),
+                            jnp.asarray(ratios, jnp.float32))
+    want = np.asarray(lookahead_limiter(y, SR))
+
+    settings = {"mb_edges": edges, "mb_thresholds": threshs,
+                "mb_ratios": ratios}
+    got, _ = _stream(x, settings, 4096)
+    assert got.shape == want.shape
+    err = np.abs(got - want).max()
+    assert err < 2e-4, err
+
+
+def test_stream_compat_rejects_gband():
+    from ame_tpu.streaming import StreamingCompatMaster
+    with pytest.raises(ValueError):
+        StreamingCompatMaster(SR, {"mb_edges": (250.0, 2000.0)})

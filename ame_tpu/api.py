@@ -51,8 +51,14 @@ def _bucket_length(n: int) -> int:
 def master_file(input_file: str, output_file: str,
                 settings: MasterSettings | Mapping[str, Any] | None = None,
                 status_callback: Callable[[str], None] = _noop,
-                progress_callback: Callable[[int, int], None] = _noop) -> dict:
+                progress_callback: Callable[[int, int], None] = _noop,
+                shard_time: bool = False) -> dict:
     """Master one file: decode -> device graph -> encode.
+
+    ``shard_time``: distribute THIS track's time axis over every local
+    device (sequence-parallel chain, parallel/sp_master.py) — for tracks
+    too long or too latency-critical for one chip. Requires the settings
+    to be sp-eligible (quality mode, or compat with whole-chunk shards).
 
     Returns an info dict: sample_rate, n_samples, loudness stats (when
     normalization ran), output path.
@@ -62,14 +68,15 @@ def master_file(input_file: str, output_file: str,
     status_callback("Loading audio into device memory...")
     audio, sr = read_audio(input_file)
     return master_array(audio, sr, output_file, settings,
-                        status_callback, progress_callback)
+                        status_callback, progress_callback,
+                        shard_time=shard_time)
 
 
 def master_array(audio: np.ndarray, sr: int, output_file: str,
                  settings: MasterSettings | Mapping[str, Any] | None = None,
                  status_callback: Callable[[str], None] = _noop,
-                 progress_callback: Callable[[int, int], None] = _noop
-                 ) -> dict:
+                 progress_callback: Callable[[int, int], None] = _noop,
+                 shard_time: bool = False) -> dict:
     """Master already-decoded audio [N, C] float32 (the fleet runner's
     entry — its native loader prefetch-decodes upcoming tracks while the
     device masters this one)."""
@@ -112,11 +119,27 @@ def master_array(audio: np.ndarray, sr: int, output_file: str,
     if settings.mode == "compat":
         x = quantize.int16_roundtrip(x)
 
-    status_callback("Running mastering graph on device...")
-    progress_callback(1, total_steps)
-    y, info = master_graph(x, sr, settings, n_valid=jnp.int32(n))
-    y.block_until_ready()
-    y = y[:n]
+    if shard_time:
+        import jax
+        from ame_tpu.parallel.mesh import make_mesh
+        from ame_tpu.parallel.sp_master import (
+            master_sequence_parallel_padded)
+        ndev = jax.device_count()
+        status_callback(f"Running time-sharded mastering graph over "
+                        f"{ndev} devices...")
+        progress_callback(1, total_steps)
+        # the sp wrapper pads to its own shard/hop/chunk granule and
+        # masks the measurement with the true length — drop the bucket
+        # padding so the wrapper sees the real track
+        y, info = master_sequence_parallel_padded(
+            x[:n], sr, settings, make_mesh({"sp": ndev}))
+        y.block_until_ready()
+    else:
+        status_callback("Running mastering graph on device...")
+        progress_callback(1, total_steps)
+        y, info = master_graph(x, sr, settings, n_valid=jnp.int32(n))
+        y.block_until_ready()
+        y = y[:n]
     progress_callback(num_chunks + 3, total_steps)
     log_memory_usage("After Graph")
 

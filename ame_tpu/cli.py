@@ -66,6 +66,11 @@ def _add_master_args(p: argparse.ArgumentParser) -> None:
                    help="output bit depth (32 = float WAV; default 16 for "
                         "reference parity)")
     p.add_argument("--mp3", action="store_true", help="also export MP3")
+    p.add_argument("--shard-time", action="store_true",
+                   help="distribute this ONE track's time axis over every "
+                        "local device (sequence-parallel chain) — for "
+                        "tracks too long or too latency-critical for one "
+                        "chip")
 
 
 def _add_master_args_fleet(p: argparse.ArgumentParser) -> None:
@@ -216,7 +221,8 @@ def main(argv=None) -> int:
         def progress(cur, total):
             print(f"[progress] {cur}/{total}", file=sys.stderr)
 
-        info = master_file(args.input, args.output, settings, status, progress)
+        info = master_file(args.input, args.output, settings, status,
+                           progress, shard_time=args.shard_time)
         if settings["create_mp3"]:
             export_mp3_sidecar(args.output, status)
         print(json.dumps(info))

@@ -434,3 +434,40 @@ def test_sp_compat_guards():
         master_sequence_parallel(
             x, 8000.0, MasterSettings(mode="compat", multiband=True,
                                       lufs=None), mesh)
+
+
+def test_master_array_shard_time(tmp_path):
+    """api.master_array(shard_time=True) routes through the padded sp
+    chain over all local devices and must match the single-chip master."""
+    from ame_tpu.api import master_array
+
+    sr = 16000
+    n = int(5.3 * sr)                        # awkward length -> sp padding
+    x = make_test_signal("noise", n, sr, seed=21) * 0.2
+    s = {"bass_boost": 2.0, "width": 1.2, "lufs": -14.0, "mode": "quality"}
+    p1 = str(tmp_path / "one.wav")
+    p2 = str(tmp_path / "sp.wav")
+    info_1 = master_array(x, sr, p1, dict(s))
+    info_sp = master_array(x, sr, p2, dict(s), shard_time=True)
+    assert abs(info_sp["gain_db"] - info_1["gain_db"]) < 5e-2
+    from ame_tpu.io.wav import read_wav
+    y1, _ = read_wav(p1)
+    y2, _ = read_wav(p2)
+    np.testing.assert_allclose(np.asarray(y2, np.float32),
+                               np.asarray(y1, np.float32), atol=2e-3)
+
+
+def test_cli_master_shard_time(tmp_path):
+    from ame_tpu.cli import main
+    from ame_tpu.io.wav import write_wav, read_wav
+
+    sr = 16000
+    x = make_test_signal("tone", 4 * sr, sr) * 0.4
+    pin = str(tmp_path / "in.wav")
+    pout = str(tmp_path / "out.wav")
+    write_wav(pin, x, sr)
+    rc = main(["master", pin, pout, "--bass", "1.5", "--no-lufs",
+               "--shard-time"])
+    assert rc == 0
+    y, _ = read_wav(pout)
+    assert y.shape[0] == 4 * sr and np.isfinite(y).all()

@@ -471,3 +471,29 @@ def test_cli_master_shard_time(tmp_path):
     assert rc == 0
     y, _ = read_wav(pout)
     assert y.shape[0] == 4 * sr and np.isfinite(y).all()
+
+
+def test_sp_compat_padded_awkward_length(monkeypatch):
+    """Arbitrary-length chunked compat through the padded wrapper: pads to
+    ndev x chunk granule, masks the measurement, trims back."""
+    import ame_tpu.config as config
+    from ame_tpu.config import MasterSettings
+    from ame_tpu.graph.chain import master_graph
+    from ame_tpu.parallel.sp_master import master_sequence_parallel_padded
+
+    monkeypatch.setattr(config, "COMPAT_CHUNK_SECONDS", 1.0)
+    sr = 16000
+    n = int(6.7 * sr)                        # not a chunk or hop multiple
+    x = make_test_signal("noise", n, sr, seed=13) * 0.2
+    x = (np.trunc(np.clip(x, -1, 1) * 32767.0) / 32768.0).astype(np.float32)
+    s = MasterSettings(bass_boost=2.0, multiband=True, lufs=-14.0,
+                       mode="compat", compat_chunked=True)
+    mesh = make_mesh({"sp": 8})
+    y_sp, info_sp = master_sequence_parallel_padded(jnp.asarray(x), sr, s,
+                                                    mesh)
+    assert y_sp.shape[0] == n
+    y_1, info_1 = master_graph(jnp.asarray(x), sr, s)
+    assert abs(float(info_sp["input_i"]) - float(info_1["input_i"])) < 0.1
+    assert float(info_sp["linear_mode"]) == float(info_1["linear_mode"])
+    np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_1),
+                               atol=3e-3, rtol=5e-3)

@@ -260,7 +260,7 @@ def _loudnorm_sp_two_pass(x, sample_rate: float, target_i: float,
     one = jnp.ones((), x.dtype)
     g0 = jnp.where(silent, one, jnp.where(lin_ok, glin, g0d))
     g1 = jnp.where(silent, one, jnp.where(lin_ok, glin, g1d))
-    y = apply_g(x, jnp.broadcast_to(g0, (F,)), jnp.broadcast_to(g1, (F,)))
+    y = apply_g(x, g0, g1)
 
     # output-side stats of the actual output (ffmpeg's r128_out)
     yko = sosfilt_sequence_parallel(ksos, y, mesh, axis)

@@ -188,7 +188,9 @@ def process_audio(settings: Mapping[str, Any],
             raise ValueError("Input or output file not specified.")
 
         info = master_file(input_file, output_file, settings,
-                           status_callback, progress_callback)
+                           status_callback, progress_callback,
+                           shard_time=bool(settings.get("shard_time",
+                                                        False)))
 
         if settings.get("create_mp3", False):
             export_mp3_sidecar(info["output_file"], status_callback)

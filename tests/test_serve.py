@@ -488,3 +488,32 @@ def test_multi_device_worker_pool(tmp_path, monkeypatch):
         assert len(devs) >= 2, devs             # spread across the pool
     finally:
         srv.shutdown()
+
+
+def test_shard_time_job(server, tmp_path):
+    """A job with settings.shard_time runs the sequence-parallel chain
+    over the virtual mesh inside a serve worker."""
+    x = make_test_signal("noise", 4096 * 8, 44100) * 0.2
+    p = str(tmp_path / "sp.wav")
+    write_wav(p, x, 44100)
+
+    r = _post(server, "/generate-upload-url",
+              {"filename": "sp.wav", "contentType": "audio/wav"})
+    with open(p, "rb") as f:
+        req = urllib.request.Request(server + r["url"], f.read(),
+                                     method="PUT")
+        urllib.request.urlopen(req).read()
+    r2 = _post(server, "/start-processing",
+               {"gcs_uri": r["gcs_uri"],
+                "settings": {"bass_boost": 1.5, "lufs": None,
+                             "shard_time": True, "create_mp3": False}})
+    deadline = time.time() + 240
+    st = {"status": "processing"}
+    while time.time() < deadline and st["status"] == "processing":
+        st = _get(server, f"/status?audio_filename="
+                          f"{r2['processed_filename']}"
+                          f"&image_filename={r2['image_filename']}")
+        time.sleep(0.5)
+    assert st["status"] == "done", st
+    blob = urllib.request.urlopen(server + st["download_url"]).read()
+    assert blob[:4] == b"RIFF"

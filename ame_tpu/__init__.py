@@ -24,10 +24,20 @@ if _os.environ.get("AME_TPU_PLATFORM"):
     # Operational escape hatch: pin the JAX backend (e.g. "cpu" to keep a
     # box serving when the TPU is unreachable). Set via jax.config because
     # a JAX_PLATFORMS env var is overridden by installed accelerator
-    # plugins on some deployments.
-    import jax as _jax
+    # plugins on some deployments. Best-effort: in a process that already
+    # initialized a JAX backend before importing ame_tpu the update can
+    # raise — importing the package must still succeed.
+    try:
+        import jax as _jax
 
-    _jax.config.update("jax_platforms", _os.environ["AME_TPU_PLATFORM"])
+        _jax.config.update("jax_platforms",
+                           _os.environ["AME_TPU_PLATFORM"])
+    except Exception:  # pragma: no cover
+        import warnings as _warnings
+
+        _warnings.warn("AME_TPU_PLATFORM was set but the JAX platform "
+                       "could not be changed (backend already "
+                       "initialized?)", RuntimeWarning)
 
 __version__ = "0.1.0"
 

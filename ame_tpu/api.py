@@ -21,6 +21,7 @@ from __future__ import annotations
 import logging
 import math
 import os
+import threading
 import traceback
 from typing import Any, Callable, Mapping
 
@@ -120,21 +121,17 @@ def master_array(audio: np.ndarray, sr: int, output_file: str,
         x = quantize.int16_roundtrip(x)
 
     if shard_time:
-        import jax
-        from ame_tpu.parallel.mesh import make_mesh
-        from ame_tpu.parallel.sp_master import (
-            master_sequence_parallel_padded)
-        ndev = jax.device_count()
-        status_callback(f"Running time-sharded mastering graph over "
-                        f"{ndev} devices...")
-        progress_callback(1, total_steps)
-        # the sp wrapper pads to its own shard/hop/chunk granule and
-        # masks the measurement with the true length — drop the bucket
-        # padding so the wrapper sees the real track
-        y, info = master_sequence_parallel_padded(
-            x[:n], sr, settings, make_mesh({"sp": ndev}))
-        y.block_until_ready()
-    else:
+        try:
+            y, info = _master_shard_time(x[:n], sr, settings,
+                                         status_callback)
+            progress_callback(1, total_steps)
+        except (ValueError, NotImplementedError) as e:
+            # sp eligibility (track length, chunk alignment, mode) is
+            # stricter than the single-chip graph; degrade, don't fail
+            status_callback(f"Warning: time-sharding unavailable ({e}); "
+                            f"falling back to one device.")
+            shard_time = False
+    if not shard_time:
         status_callback("Running mastering graph on device...")
         progress_callback(1, total_steps)
         y, info = master_graph(x, sr, settings, n_valid=jnp.int32(n))
@@ -151,6 +148,36 @@ def master_array(audio: np.ndarray, sr: int, output_file: str,
     out = {"output_file": output_file, "sample_rate": sr, "n_samples": n}
     out.update({k: float(v) for k, v in info.items()})
     return out
+
+
+_shard_time_lock = threading.Lock()
+
+
+def _master_shard_time(x, sr, settings, status_callback):
+    """One track over every device in the sp pool (the padded sp chain).
+
+    AME_TPU_SP_DEVICES caps the pool (0/unset = all local devices) so an
+    operator can reserve chips for per-device serve workers. A process
+    lock serializes shard_time masters — two all-device jobs would only
+    contend for the same chips."""
+    import jax
+    from ame_tpu.parallel.mesh import make_mesh
+    from ame_tpu.parallel.sp_master import master_sequence_parallel_padded
+
+    devs = list(jax.local_devices())
+    cap = int(os.environ.get("AME_TPU_SP_DEVICES", 0))
+    if cap > 0:
+        devs = devs[:cap]
+    status_callback(f"Running time-sharded mastering graph over "
+                    f"{len(devs)} devices...")
+    with _shard_time_lock:
+        # the sp wrapper pads to its own shard/hop/chunk granule and masks
+        # the measurement with the true length (the caller already dropped
+        # the bucket padding)
+        y, info = master_sequence_parallel_padded(
+            x, sr, settings, make_mesh({"sp": len(devs)}, devices=devs))
+        y.block_until_ready()
+    return y, info
 
 
 def export_mp3_sidecar(wav_path: str,

@@ -116,6 +116,10 @@ class MasterSettings:
             if len(e) < 1 or list(e) != sorted(set(e)):
                 raise ValueError(
                     f"mb_edges must be >=1 strictly ascending Hz, got {e}")
+            # mb_edges implies the multiband stage (the CLI documents this;
+            # normalizing here keeps every surface — graph, batch, sp,
+            # streaming — reading the same decision from one flag)
+            object.__setattr__(self, "multiband", True)
             G = len(e) + 1
             for f in ("mb_thresholds", "mb_ratios"):
                 v = getattr(self, f)

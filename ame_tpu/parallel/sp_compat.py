@@ -247,32 +247,41 @@ def _loudnorm_sp_two_pass(x, sample_rate: float, target_i: float,
     lin_ok = supplied & (input_tp + gain_db <= tp) & (input_lra <= lra)
     silent = ~jnp.isfinite(input_i)
 
-    @partial(jax.jit, out_shardings=None)
-    def _gains_pass2(M0, M1, M2, peak, nv, m_i, m_th, offset):
-        F_eff, blk_valid = LN._valid_frames(F, hop, nv)
-        return LN._controller_gains(M0, M1, M2, peak, hop, F_eff,
-                                    blk_valid, ti, tp, lra, m_i, m_th,
-                                    offset)
+    # One host scalar sync decides the branch — the staged-graph pattern
+    # (graph/chain.py): on linear-mode tracks (the common case) it skips
+    # the dynamic controller AND a full-track K-weighting pass whose
+    # results a traced jnp.where would compute and discard.
+    silent_h = bool(np.asarray(silent))
+    lin_h = bool(np.asarray(lin_ok)) and not silent_h
 
-    g0d, g1d = _gains_pass2(M0, M1, M2, peak, nv, input_i, input_thresh,
-                            target_offset)
-    glin = 10.0 ** (gain_db / 20.0)
-    one = jnp.ones((), x.dtype)
-    g0 = jnp.where(silent, one, jnp.where(lin_ok, glin, g0d))
-    g1 = jnp.where(silent, one, jnp.where(lin_ok, glin, g1d))
-    y = apply_g(x, g0, g1)
+    if silent_h:
+        y = x                                 # quirk Q9 passthrough
+        output_i, output_th = input_i, input_thresh
+    elif lin_h:
+        y = jax.jit(lambda x, g: x * 10.0 ** (g / 20.0),
+                    out_shardings=shd)(x, gain_db)
+        output_i, output_th = input_i + gain_db, input_thresh + gain_db
+    else:
+        @partial(jax.jit, out_shardings=None)
+        def _gains_pass2(M0, M1, M2, peak, nv, m_i, m_th, offset):
+            F_eff, blk_valid = LN._valid_frames(F, hop, nv)
+            return LN._controller_gains(M0, M1, M2, peak, hop, F_eff,
+                                        blk_valid, ti, tp, lra, m_i, m_th,
+                                        offset)
 
-    # output-side stats of the actual output (ffmpeg's r128_out)
-    yko = sosfilt_sequence_parallel(ksos, y, mesh, axis)
-    out2_i, _, out2_th = jax.jit(_hop_stats, out_shardings=None)(yko, nv)
-    output_i = jnp.where(lin_ok, input_i + gain_db, out2_i)
-    output_th = jnp.where(lin_ok, input_thresh + gain_db, out2_th)
+        g0d, g1d = _gains_pass2(M0, M1, M2, peak, nv, input_i,
+                                input_thresh, target_offset)
+        y = apply_g(x, g0d, g1d)
+        # output-side stats of the actual output (ffmpeg's r128_out)
+        yko = sosfilt_sequence_parallel(ksos, y, mesh, axis)
+        output_i, _, output_th = jax.jit(_hop_stats,
+                                         out_shardings=None)(yko, nv)
 
     info = {"input_i": input_i, "input_lra": input_lra,
             "input_tp": input_tp, "input_thresh": input_thresh,
             "target_offset": target_offset,
             "linear_mode": lin_ok.astype(x.dtype),
-            "gain_db": jnp.where(silent | ~lin_ok, 0.0, gain_db),
+            "gain_db": gain_db if lin_h else jnp.zeros((), x.dtype),
             "output_i": output_i, "output_thresh": output_th}
     return y, info
 
@@ -379,9 +388,17 @@ def master_compat_sequence_parallel(x: jax.Array, sample_rate: float,
             raise ValueError(
                 f"shard length {local_n} must be a multiple of the 100 ms "
                 f"hop ({hop} samples) when lufs is set")
-        if n < (LN.RING + 1) * hop:
-            raise ValueError("compat loudnorm needs >= 3.1 s of audio; "
-                             "use the single-chip graph for short tracks")
+        # the check must see the TRUE track length, not the padded buffer:
+        # padding a 2 s track to the chunk granule would otherwise run the
+        # full frame controller over zeros instead of matching the
+        # single-chip short-track gain branch
+        nv_host = (n if n_valid is None
+                   else int(n_valid) if isinstance(n_valid, (int, np.integer))
+                   else None)
+        if nv_host is not None and nv_host < (LN.RING + 1) * hop:
+            raise ValueError("compat loudnorm needs >= 3.1 s of audio "
+                             "(the controller's priming window); use the "
+                             "single-chip graph for short tracks")
     chunk_len = int(C.COMPAT_CHUNK_SECONDS * sr)
     if chunked and local_n % chunk_len:
         raise ValueError(

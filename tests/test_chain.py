@@ -270,3 +270,13 @@ def test_gband_settings_validation():
     s = MasterSettings(mb_edges=[250.0, 4000.0])
     assert isinstance(s.mb_edges, tuple)
     hash(s)
+
+
+def test_mb_edges_implies_multiband():
+    """mb_edges alone must engage the multiband stage on EVERY surface
+    (the CLI documents the implication; the frozen settings normalize it
+    so graph/batch/sp/streaming all read one flag)."""
+    from ame_tpu.config import MasterSettings
+    s = MasterSettings(mb_edges=(250.0, 2000.0))
+    assert s.multiband is True
+    assert s.structure_key()[2] is True

@@ -63,6 +63,25 @@ from ame_tpu.ops.scan_iir import biquad_scan
 # Shared detector
 # ---------------------------------------------------------------------------
 
+def _detector_from_wsum(wsum, count: float, idx_ge_look, threshold_db,
+                        ratio):
+    """The pydub detector math downstream of the window sum — shared by
+    the single-chip detector and the sequence-parallel one (which builds
+    ``wsum`` from a haloed shard-local window and ``idx_ge_look`` from
+    GLOBAL sample indices). Returns (rms, max_att_db, thresh_rms)."""
+    # audioop.rms floors to int
+    rms = jnp.floor(jnp.sqrt(jnp.maximum(wsum, 0.0) / count))
+    rms = jnp.where(idx_ge_look, rms, 0.0)
+    thresh_rms = 32768.0 * 10.0 ** (jnp.asarray(threshold_db) / 20.0)
+    db_over = jnp.where(
+        rms > 0,
+        jnp.maximum(20.0 * jnp.log10(jnp.maximum(rms, 1e-9) / thresh_rms),
+                    0.0),
+        0.0)
+    max_att = (1.0 - 1.0 / jnp.asarray(ratio)) * db_over
+    return rms, max_att, thresh_rms
+
+
 @partial(jax.jit, static_argnums=(1, 4))
 def pydub_detector(x_int: jax.Array, sample_rate: float, threshold_db,
                    ratio, attack_ms: float = 5.0):
@@ -79,17 +98,8 @@ def pydub_detector(x_int: jax.Array, sample_rate: float, threshold_db,
     else:
         wsum = jnp.zeros_like(sq)
     count = float(max(look, 1) * c)
-    # audioop.rms floors to int
-    rms = jnp.floor(jnp.sqrt(jnp.maximum(wsum, 0.0) / count))
-    rms = jnp.where(jnp.arange(n) >= look, rms, 0.0)
-
-    thresh_rms = 32768.0 * 10.0 ** (jnp.asarray(threshold_db) / 20.0)
-    db_over = jnp.where(
-        rms > 0,
-        jnp.maximum(20.0 * jnp.log10(jnp.maximum(rms, 1e-9) / thresh_rms), 0.0),
-        0.0)
-    max_att = (1.0 - 1.0 / jnp.asarray(ratio)) * db_over
-    return rms, max_att, thresh_rms
+    return _detector_from_wsum(wsum, count, jnp.arange(n) >= look,
+                               threshold_db, ratio)
 
 
 @jax.jit

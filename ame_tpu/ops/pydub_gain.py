@@ -102,15 +102,17 @@ def _update(att, m, inv_a, inv_r):
 # ---------------------------------------------------------------------------
 
 @jax.jit
-def _gain_scan(m, scal):
-    """m: [N, G]; scal: [1, 2] = (1/attack_frames, 1/release_frames)."""
+def _gain_scan(m, scal, init):
+    """m: [N, G]; scal: [1, 2] = (1/attack_frames, 1/release_frames);
+    init: [G] starting attenuation state (zeros = the pydub track start;
+    the sequence-parallel engine seeds shard carries through it)."""
     inv_a, inv_r = scal[0, 0], scal[0, 1]
 
     def step(att, mt):
         att = _update(att, mt, inv_a, inv_r)
         return att, att
 
-    _, ys = jax.lax.scan(step, jnp.zeros((m.shape[1],), m.dtype), m)
+    _, ys = jax.lax.scan(step, init.astype(m.dtype), m)
     return ys
 
 
@@ -138,13 +140,14 @@ def _p1_kernel(*refs, G, TB, K):
     m_refs = refs[:G]
     r_ref = refs[G]      # [1, TB//K] per-group reset flags (chunk starts)
     s_ref = refs[G + 1]
-    o_ref = refs[G + 2]
-    att_ref = refs[G + 3]
+    c_ref = refs[G + 2]  # [1, G] initial attenuation state
+    o_ref = refs[G + 3]
+    att_ref = refs[G + 4]
 
     @pl.when(pl.program_id(0) == 0)
     def _():
         for g in range(G):
-            att_ref[0, g] = 0.0
+            att_ref[0, g] = c_ref[0, g]
 
     inv_a = s_ref[0, 0]
     inv_r = s_ref[0, 1]
@@ -167,10 +170,11 @@ def _p1_kernel(*refs, G, TB, K):
         att_ref[0, g] = atts[g]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4))
-def _p1(G, ms, resets, scal, interpret):
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def _p1(G, ms, resets, scal, c_in, interpret):
     """ms: tuple of G arrays [1, NP] (NP a multiple of _TB); resets:
-    [1, NP // _K] 0/1 flags (state zeroed at flagged group starts).
+    [1, NP // _K] 0/1 flags (state zeroed at flagged group starts);
+    c_in: [1, G] initial attenuation state.
     Returns [G, NP // _K] states at every K-th sample."""
     np_ = ms[0].shape[1]
     nb = np_ // _TB
@@ -184,13 +188,15 @@ def _p1(G, ms, resets, scal, interpret):
                  [pl.BlockSpec((1, sk), lambda i: (0, i),
                                memory_space=pltpu.SMEM),
                   pl.BlockSpec((1, 2), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, G), lambda i: (0, 0),
                                memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec((G, sk), lambda i: (0, i),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((G, np_ // _K), jnp.float32),
         scratch_shapes=[pltpu.SMEM((1, G), jnp.float32)],
         interpret=bool(interpret),
-    )(*ms, resets, scal)
+    )(*ms, resets, scal, c_in)
 
 
 # ---------------------------------------------------------------------------
@@ -364,10 +370,11 @@ def _jac_call(m3, r2, c, scal, full, interpret, S, seg_len, TT):
     )(*[m3[g] for g in range(G)], r2, c, scal)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
-def _jacobi_carries(m3, r2, scal, S, seg_len, TT, interpret):
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _jacobi_carries(m3, r2, scal, init, S, seg_len, TT, interpret):
     """m3: [G, S, seg_len]; r2: [S, seg_len] per-sample reset flags
-    (nonzero only on K-group-start samples; shared by all G chains).
+    (nonzero only on K-group-start samples; shared by all G chains);
+    init: [G] attenuation state entering segment 0 (zeros = track start).
     Returns (carries [G, S], converged [G]) — the full-output sweep runs
     separately (and only when something converged)."""
     G = m3.shape[0]
@@ -385,8 +392,9 @@ def _jacobi_carries(m3, r2, scal, S, seg_len, TT, interpret):
 
     def refresh(co):                                        # co: [G, S]
         src = jnp.take_along_axis(co, jnp.maximum(lasti, 0), axis=1)
-        bridged = jnp.where(lasti < 0, 0.0, src)
-        return jnp.concatenate([jnp.zeros((G, 1), jnp.float32),
+        # identity prefixes freeze the INITIAL state, not zero
+        bridged = jnp.where(lasti < 0, init[:, None], src)
+        return jnp.concatenate([init[:, None].astype(jnp.float32),
                                 bridged[:, :-1]], axis=1)
 
     def cond(st):
@@ -408,7 +416,8 @@ def _jacobi_carries(m3, r2, scal, S, seg_len, TT, interpret):
         done = jnp.all(nxt == c_cur, axis=1)                # [G]
         return (nxt, done, j + 1)
 
-    c0 = jnp.zeros((G, S), jnp.float32)
+    c0 = jnp.concatenate([init[:, None].astype(jnp.float32),
+                          jnp.zeros((G, S - 1), jnp.float32)], axis=1)
     c_cur, converged, _ = jax.lax.while_loop(
         cond, body, (c0, jnp.zeros((G,), jnp.bool_),
                      jnp.zeros((), jnp.int32)))
@@ -428,11 +437,13 @@ def _select_S(npad: int) -> int:
     return 1 << max(3, min(9, int(_math.log2(max(npad // 16384, 8)))))
 
 
-def _gain_engine(G, m1, resets, scal, interpret):
+def _gain_engine(G, m1, resets, scal, interpret, init=None):
     """Run the Jacobi engine with the convergence verdict ON DEVICE,
     falling back PER BAND to the sequential two-pass path for any chain
     whose carries did not reach the exact fixed point. Returns a list of
-    G [npad] attenuations.
+    G [npad] attenuations. ``init`` ([G], traced) seeds the attenuation
+    state entering the first sample (the sequence-parallel engine's
+    shard carries); None = zeros (track start).
 
     Fully traceable (round-3; round 2's verdict needed a host
     synchronization — ~30-40 ms over the tunneled TPU — and therefore
@@ -441,9 +452,11 @@ def _gain_engine(G, m1, resets, scal, interpret):
     Jacobi sweep and the two-pass fallback sit behind ``lax.cond``, so
     only the needed engine executes at runtime and the entire stage can
     live inside one jitted program."""
+    if init is None:
+        init = jnp.zeros((G,), jnp.float32)
     if not _JACOBI:
         return [a[:m1[0].shape[1]] for a in
-                _two_pass(G, m1, resets, scal, interpret)]
+                _two_pass(G, m1, resets, scal, interpret, init)]
     npad = m1[0].shape[1]
     S = _select_S(npad)
     # time tile shrinks with G to keep the full-output kernel (G m-tiles +
@@ -460,7 +473,7 @@ def _gain_engine(G, m1, resets, scal, interpret):
         .reshape(S, seg_len)
     m3 = jnp.stack([jnp.pad(m1[g][0], (0, npad2 - npad)).reshape(
         S, seg_len) for g in range(G)])
-    c_fix, ok = _jacobi_carries(m3, r2, scal, S, seg_len, TT,
+    c_fix, ok = _jacobi_carries(m3, r2, scal, init, S, seg_len, TT,
                                 bool(interpret))
 
     att_jac = jax.lax.cond(
@@ -473,7 +486,8 @@ def _gain_engine(G, m1, resets, scal, interpret):
         jnp.all(ok),
         lambda: jnp.zeros((G, npad), jnp.float32),
         lambda: jnp.stack([a[:npad] for a in
-                           _two_pass(G, m1, resets, scal, interpret)]))
+                           _two_pass(G, m1, resets, scal, interpret,
+                                     init)]))
 
     return [jnp.where(ok[g], att_jac[g].reshape(npad2)[:npad], tp[g])
             for g in range(G)]
@@ -485,27 +499,34 @@ def _gain_engine(G, m1, resets, scal, interpret):
 
 def pydub_gain_multi(ms, attack_frames: float, release_frames: float,
                      interpret: bool | None = None,
-                     force_scan: bool = False):
+                     force_scan: bool = False, init=None):
     """Exact pydub attenuation for G independent chains.
 
     ms: list of G same-length [N] float32 max-attenuation sequences (the
     chains share attack/release, as the reference's three bands do).
-    Returns a list of G [N] attenuation-in-dB arrays (state starts at 0).
+    Returns a list of G [N] attenuation-in-dB arrays.
 
     force_scan pins the lax.scan path — required under vmap (pallas_call
     has no batching rule), used by the 30 s chunked-compat emulation.
+    ``init`` ([G] traced, default zeros = the pydub track start) seeds the
+    attenuation state entering the first sample — the sequence-parallel
+    engine (parallel/sp_compat.py) runs each shard from its relaxed
+    inbound carry through this.
     """
     G = len(ms)
     n = ms[0].shape[0]
     scal = jnp.asarray(
         [[1.0 / float(attack_frames), 1.0 / float(release_frames)]],
         jnp.float32)
+    if init is None:
+        init = jnp.zeros((G,), jnp.float32)
+    init = jnp.asarray(init, jnp.float32)
 
     use_two_pass = not force_scan and (
         interpret is True or
         (jax.default_backend() == "tpu" and n > _SCAN_MAX))
     if not use_two_pass:
-        att = _gain_scan(jnp.stack(ms, axis=1), scal)
+        att = _gain_scan(jnp.stack(ms, axis=1), scal, init)
         return [att[:, g] for g in range(G)]
 
     blk = max(_TB, _BR * _K)
@@ -513,12 +534,16 @@ def pydub_gain_multi(ms, attack_frames: float, release_frames: float,
     # zero padding = below-threshold freeze: exact, and trimmed afterwards
     m1 = tuple(jnp.pad(m, (0, npad - n)).reshape(1, npad) for m in ms)
     resets = jnp.zeros((1, npad // _K), jnp.float32)
-    return [a[:n] for a in _gain_engine(G, m1, resets, scal, interpret)]
+    return [a[:n] for a in _gain_engine(G, m1, resets, scal, interpret,
+                                        init)]
 
 
-def _two_pass(G, m1, resets, scal, interpret):
+def _two_pass(G, m1, resets, scal, interpret, init=None):
     npad = m1[0].shape[1]
-    starts = _p1(G, m1, resets, scal, bool(interpret))  # [G, npad // _K]
+    if init is None:
+        init = jnp.zeros((G,), jnp.float32)
+    starts = _p1(G, m1, resets, scal, init.reshape(1, G),
+                 bool(interpret))                       # [G, npad // _K]
     outs = []
     for g in range(G):
         att = _p2(m1[g].reshape(npad // _K, _K), starts[g:g + 1], scal,

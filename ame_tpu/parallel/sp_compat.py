@@ -64,16 +64,17 @@ from ame_tpu.ops import loudnorm as LN
 from ame_tpu.ops.window import release_scan
 from ame_tpu.ops.limiter import _wedge_pieces
 from ame_tpu.parallel.sequence import sosfilt_sequence_parallel
-from ame_tpu.parallel.sp_master import _true_peak_sharded
+from ame_tpu.parallel.sp_master import _left_halo, _true_peak_sharded
 
 
-def _shard_map_local(fn, mesh: Mesh, axis: str):
-    """shard_map a purely shard-local body (no collectives) with the
+def _shard_map_local(fn, mesh: Mesh, axis: str, n_in: int = 1):
+    """shard_map an ``n_in``-argument time-sharded body with the
     varying-manual-axes check off: the single-chip stage ops scanned
     inside (lax.scan with constant init carries) were not written with
-    vma annotations, and with no cross-shard communication the check has
-    nothing to catch."""
-    specs = dict(mesh=mesh, in_specs=P(axis, None),
+    vma annotations; bodies are shard-local or use explicitly exact
+    collectives (halos / carry gathers) the check cannot reason about."""
+    specs = dict(mesh=mesh,
+                 in_specs=tuple(P(axis, None) for _ in range(n_in)),
                  out_specs=P(axis, None))
     try:
         return shard_map(fn, check_vma=False, **specs)
@@ -167,6 +168,126 @@ def _pre_stages_unchunked(x, settings, sample_rate: float, mesh: Mesh,
         x = jax.jit(lambda x: stereo.stereo_width(x, w),
                     out_shardings=shd)(x)
     return rt(x)
+
+
+# ---------------------------------------------------------------------------
+# Cross-shard exact pydub gain + unchunked compat multiband
+# ---------------------------------------------------------------------------
+
+def _pydub_gain_sp(m_loc, attack_frames: float, release_frames: float,
+                   axis: str):
+    """Exact pydub attenuation across shards (called inside shard_map).
+
+    The gain recurrence is non-associative (ops/pydub_gain.py), so there
+    is no closed-form boundary carry. Instead: SHARD-LEVEL Jacobi carry
+    relaxation, the cross-chip analog of the engine's own segment
+    relaxation. Each sweep runs every shard's local engine from its
+    current inbound-carry guess (all engines accept an ``init`` state)
+    and all-gathers the outbound states; shard s's next guess is shard
+    s-1's outbound. Acceptance: when every shard's guess reproduces its
+    left neighbor's outbound, c_s == f_{s-1}(c_{s-1}) for all s with
+    c_0 = 0, so the carries equal the sequential chain by induction.
+    And ndev-1 sweeps ALWAYS suffice (after sweep r, shards 0..r are
+    exact by propagation), so the loop is exact even without early
+    convergence — real audio converges in 2-3 sweeps because the state
+    forgets at every full-attack clamp or full release.
+
+    m_loc: [Ln, G] local max-attenuation. Returns [Ln, G] attenuations.
+    """
+    from ame_tpu.ops.pydub_gain import pydub_gain_multi
+
+    G = m_loc.shape[1]
+    ndev = lax.axis_size(axis)
+    sidx = lax.axis_index(axis)
+    ms = [m_loc[:, g] for g in range(G)]
+
+    def run_from(c):
+        atts = pydub_gain_multi(ms, attack_frames, release_frames, init=c)
+        return jnp.stack(atts, axis=1)                     # [Ln, G]
+
+    if ndev == 1:
+        return run_from(jnp.zeros((G,), m_loc.dtype))
+
+    def cond(st):
+        c, done, j = st
+        return (j < ndev - 1) & ~done
+
+    def body(st):
+        c, _, j = st
+        e = run_from(c)[-1]                                # [G]
+        es = lax.all_gather(e, axis)                       # [ndev, G]
+        nxt = jnp.where(sidx == 0, jnp.zeros((G,), e.dtype),
+                        es[sidx - 1])
+        same = jnp.all(nxt == c)
+        done = jnp.all(lax.all_gather(same, axis))
+        return (nxt, done, j + 1)
+
+    c0 = jnp.zeros((G,), m_loc.dtype)
+    c_fin, _, _ = lax.while_loop(
+        cond, body, (c0, jnp.zeros((), bool), jnp.zeros((), jnp.int32)))
+    return run_from(c_fin)
+
+
+def _multiband_compat_sp(x, settings, sample_rate: float, mesh: Mesh,
+                         axis: str):
+    """Unchunked compat multiband on a time-sharded track — exact pydub
+    semantics (quirks Q4/Q5/Q7 verbatim):
+
+      * subtractive crossover: butter LP/HP through the exact sp IIR,
+        mid = full - low - high (Q4), per-band int16 quantization (Q5);
+      * detector: shard-local windowed integer RMS with a ``look``-sample
+        left halo and GLOBAL index gating (the first ``look`` frames of
+        the TRACK read rms 0, not of each shard);
+      * gain: shard-level Jacobi carry relaxation (``_pydub_gain_sp``);
+      * apply + saturating band adds (Q7): memoryless, shard-local.
+    """
+    from ame_tpu.ops import compressor as comp
+    from ame_tpu.ops import window as W
+
+    sr = float(sample_rate)
+    attack_ms, release_ms = 5.0, 50.0        # pydub defaults (reference)
+    look = int(int(attack_ms * sr / 1000.0))
+    a_f = attack_ms * sr / 1000.0
+    r_f = release_ms * sr / 1000.0
+    threshs = (float(settings.low_thresh), float(settings.mid_thresh),
+               float(settings.high_thresh))
+    ratios = (float(settings.low_ratio), float(settings.mid_ratio),
+              float(settings.high_ratio))
+
+    low_sos = design.butter_sos(4, C.MB_LOW_CROSSOVER_HZ, "lowpass", fs=sr)
+    high_sos = design.butter_sos(4, C.MB_HIGH_CROSSOVER_HZ, "highpass",
+                                 fs=sr)
+    low = sosfilt_sequence_parallel(low_sos, x, mesh, axis)
+    high = sosfilt_sequence_parallel(high_sos, x, mesh, axis)
+
+    def local(xl, lowl, highl):
+        ln, c = xl.shape
+        midl = xl - lowl - highl             # quirk Q4
+        bands = [quantize.float_to_int16(b)  # quirk Q5
+                 for b in (lowl, midl, highl)]
+        gidx = lax.axis_index(axis) * ln + jnp.arange(ln)
+        count = float(max(look, 1) * c)
+        ms = []
+        for i, b in enumerate(bands):
+            sq = jnp.sum(b * b, axis=1)
+            if look > 0:
+                halo = _left_halo(sq[:, None], look, axis)[:, 0]
+                seq = jnp.concatenate([halo, sq])
+                wsum = W.moving_sum_past(seq, look)[look - 1:look - 1 + ln]
+            else:
+                wsum = jnp.zeros_like(sq)
+            _, max_att, _ = comp._detector_from_wsum(
+                wsum, count, gidx >= look, threshs[i], ratios[i])
+            ms.append(max_att)
+        att = _pydub_gain_sp(jnp.stack(ms, axis=1), a_f, r_f, axis)
+        outs = [comp._apply_attenuation_int(bands[g], att[:, g])
+                for g in range(3)]
+        acc = quantize.saturating_add_int16(outs[0], outs[1])
+        acc = quantize.saturating_add_int16(acc, outs[2])  # quirk Q7
+        return acc * (1.0 / 32768.0)
+
+    fn = _shard_map_local(local, mesh, axis, n_in=3)
+    return jax.jit(fn)(x, low, high)
 
 
 # ---------------------------------------------------------------------------
@@ -363,9 +484,10 @@ def master_compat_sequence_parallel(x: jax.Array, sample_rate: float,
     Requirements beyond the quality path: with ``compat_chunked`` each
     shard must own whole 30 s chunks (``local_n % chunk_len == 0`` — the
     Q6 resets are what make the DSP stages shard-local); unchunked compat
-    supports the non-multiband chain (the whole-track exact pydub gain
-    engine stays single-chip). The track must be >= 3.1 s (the loudnorm
-    controller's priming window)."""
+    runs the quirk EQ through the exact sp IIR and the whole-track exact
+    pydub multiband through shard-level Jacobi carry relaxation
+    (``_pydub_gain_sp``). With loudnorm on, the track must be >= 3.1 s
+    (the controller's priming window)."""
     from ame_tpu.config import MasterSettings
     if isinstance(settings, dict):
         settings = MasterSettings.from_dict(settings)
@@ -407,13 +529,6 @@ def master_compat_sequence_parallel(x: jax.Array, sample_rate: float,
             f"in chunked compat mode (the Q6 resets make the stages "
             f"shard-local); pad to ndev*chunk_len or use "
             f"master_sequence_parallel_padded")
-    if not chunked and multiband_on:
-        raise NotImplementedError(
-            "unchunked compat multiband is not sequence-parallel (the "
-            "whole-track exact pydub gain engine is a single-chip "
-            "construct); set compat_chunked=True — the reference itself "
-            "always chunks — or use a single chip")
-
     shd = NamedSharding(mesh, P(axis, None))
     x = jax.device_put(x, shd)
 
@@ -425,6 +540,8 @@ def master_compat_sequence_parallel(x: jax.Array, sample_rate: float,
         x = _pre_stages_unchunked(
             x, settings, sr, mesh, axis, shd, analog_on=analog_on,
             width_on=width_on)
+        if multiband_on:
+            x = _multiband_compat_sp(x, settings, sr, mesh, axis)
 
     info = {}
     if lufs_on:

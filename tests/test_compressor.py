@@ -120,7 +120,7 @@ def test_two_pass_gain_matches_scan():
     m = np.maximum(rng.normal(1.0, 3.0, (n, 3)), 0.0).astype(np.float32)
     m[rng.random((n, 3)) < 0.6] = 0.0  # below-threshold freeze stretches
     scal = jnp.asarray([[1.0 / 220.5, 1.0 / 2205.0]], jnp.float32)
-    want = np.asarray(pg._gain_scan(jnp.asarray(m), scal))
+    want = np.asarray(pg._gain_scan(jnp.asarray(m), scal, jnp.zeros(m.shape[1])))
     got = np.asarray(pg.pydub_gain(jnp.asarray(m), 220.5, 2205.0,
                                    interpret=True))
     assert got.shape == want.shape
@@ -166,7 +166,8 @@ def test_chunked_gain_matches_per_chunk():
         seg = m[c0:c0 + chunk]
         att = pg._gain_scan(jnp.asarray(seg),
                             jnp.asarray([[1 / 220.5, 1 / 2205.0]],
-                                        jnp.float32))
+                                        jnp.float32),
+                            jnp.zeros(seg.shape[1]))
         want[c0:c0 + chunk] = np.asarray(att)
 
     got_scan = pg.pydub_gain_chunked(ms, 220.5, 2205.0, chunk,
@@ -216,7 +217,7 @@ def test_jacobi_convergence_flag_and_fallback():
             .at[:, 0].set(rg).reshape(S, seg_len)
         m3 = jnp.stack([jnp.pad(m1[g][0], (0, npad2 - npad)).reshape(
             S, seg_len) for g in range(len(m1))])
-        return pg._jacobi_carries(m3, r2, scal, S, seg_len, TT, True)
+        return pg._jacobi_carries(m3, r2, scal, jnp.zeros((m3.shape[0],)), S, seg_len, TT, True)
 
     rng = np.random.default_rng(3)
     n = 9 * 16384
@@ -229,7 +230,7 @@ def test_jacobi_convergence_flag_and_fallback():
     _, ok = carries(m1, resets, scal)
     assert np.asarray(ok).all()
     outs = pg._gain_engine(1, m1, resets, scal, True)
-    ref = np.asarray(pg._gain_scan(jnp.asarray(m)[:, None], scal))[:, 0]
+    ref = np.asarray(pg._gain_scan(jnp.asarray(m)[:, None], scal, jnp.zeros(1)))[:, 0]
     np.testing.assert_array_equal(np.asarray(outs[0]), ref)
 
     # translation maps: the exactness front advances one segment/sweep, so
@@ -245,7 +246,7 @@ def test_jacobi_convergence_flag_and_fallback():
     got = pg.pydub_gain_multi([jnp.full(n2, 10.0, jnp.float32)], 1e9,
                               2205.0, interpret=True)
     ref = np.asarray(pg._gain_scan(jnp.full((n2, 1), 10.0, jnp.float32),
-                                   scal2))[:, 0]
+                                   scal2, jnp.zeros(1)))[:, 0]
     np.testing.assert_array_equal(np.asarray(got[0]), ref)
 
 
@@ -262,7 +263,8 @@ def test_two_pass_path_still_exact(monkeypatch):
     got = pg.pydub_gain(jnp.asarray(m), 220.5, 2205.0, interpret=True)
     ref = np.asarray(pg._gain_scan(
         jnp.asarray(m)[:, None],
-        jnp.asarray([[1 / 220.5, 1 / 2205.0]], jnp.float32)))[:, 0]
+        jnp.asarray([[1 / 220.5, 1 / 2205.0]], jnp.float32),
+        jnp.zeros(1)))[:, 0]
     np.testing.assert_allclose(np.asarray(got), ref, atol=2e-5)
 
 
@@ -301,7 +303,8 @@ def test_gain_engine_traceable_under_jit():
     got = np.asarray(jf(jnp.asarray(m)))
     ref = np.asarray(pg._gain_scan(
         jnp.asarray(m)[:, None],
-        jnp.asarray([[1 / 220.5, 1 / 2205.0]], jnp.float32)))[:, 0]
+        jnp.asarray([[1 / 220.5, 1 / 2205.0]], jnp.float32),
+        jnp.zeros(1)))[:, 0]
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
     # fused compat graph end-to-end (the original crash site)
@@ -329,5 +332,6 @@ def test_jacobi_awkward_lengths(n):
                               interpret=True)
     ref = np.asarray(pg._gain_scan(
         jnp.asarray(m)[:, None],
-        jnp.asarray([[1 / 220.5, 1 / 2205.0]], jnp.float32)))[:, 0]
+        jnp.asarray([[1 / 220.5, 1 / 2205.0]], jnp.float32),
+        jnp.zeros(1)))[:, 0]
     np.testing.assert_allclose(np.asarray(got[0]), ref, atol=1e-6)

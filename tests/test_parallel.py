@@ -430,10 +430,10 @@ def test_sp_compat_guards():
         master_sequence_parallel(
             x, 8000.0, MasterSettings(mode="compat", compat_chunked=True,
                                       lufs=None), mesh)
-    with pytest.raises(NotImplementedError):  # unchunked compat multiband
+    with pytest.raises(ValueError):   # G-band is quality-mode only
         master_sequence_parallel(
-            x, 8000.0, MasterSettings(mode="compat", multiband=True,
-                                      lufs=None), mesh)
+            x, 16000.0, MasterSettings(mode="compat",
+                                       mb_edges=(500.0,), lufs=None), mesh)
 
 
 def test_master_array_shard_time(tmp_path):
@@ -497,3 +497,68 @@ def test_sp_compat_padded_awkward_length(monkeypatch):
     assert float(info_sp["linear_mode"]) == float(info_1["linear_mode"])
     np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_1),
                                atol=3e-3, rtol=5e-3)
+
+
+def test_sp_compat_unchunked_multiband_matches_single_chip():
+    """Unchunked compat MULTIBAND over the mesh: subtractive crossover
+    through the sp IIR, haloed integer-RMS detector, and the whole-track
+    exact pydub gain via shard-level Jacobi carry relaxation — must
+    reproduce the single-chip chain."""
+    from ame_tpu.config import MasterSettings
+    from ame_tpu.graph.chain import master_graph
+    from ame_tpu.parallel.sp_master import master_sequence_parallel
+
+    sr = 16000
+    n = 8 * sr
+    x = make_test_signal("noise", n, sr, seed=17) * 0.1
+    t = np.arange(n) / sr
+    x[:, 0] += 0.25 * np.sin(2 * np.pi * 150.0 * t)
+    x[:, 1] += 0.25 * np.sin(2 * np.pi * 150.0 * t + 0.3)
+    x[n // 2: n // 2 + sr // 2] *= 3.0              # drive the compressor
+    x = (np.trunc(np.clip(x, -1, 1) * 32767.0) / 32768.0).astype(np.float32)
+
+    s = MasterSettings(bass_boost=1.5, multiband=True, low_thresh=-30.0,
+                       mid_thresh=-28.0, high_thresh=-30.0,
+                       low_ratio=4.0, mid_ratio=3.0, high_ratio=4.0,
+                       lufs=-14.0, mode="compat")
+    mesh = make_mesh({"sp": 8})
+    y_sp, info_sp = master_sequence_parallel(jnp.asarray(x), sr, s, mesh)
+    y_1, info_1 = master_graph(jnp.asarray(x), sr, s)
+    assert abs(float(info_sp["input_i"]) - float(info_1["input_i"])) < 5e-2
+    np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_1),
+                               atol=2e-3, rtol=5e-3)
+
+
+def test_pydub_gain_sp_exact_vs_single():
+    """The shard-level Jacobi relaxation must equal the single-track gain
+    engine bit-for-bit — including content engineered so state crosses
+    EVERY shard boundary (a never-zero slow ramp)."""
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from ame_tpu.ops.pydub_gain import pydub_gain_multi
+    from ame_tpu.parallel.sp_compat import _pydub_gain_sp
+
+    n = 8 * 4096
+    rng = np.random.default_rng(23)
+    m_noise = np.maximum(0.0, rng.standard_normal(n)).astype(np.float32) * 5
+    m_noise[rng.random(n) < 0.5] = 0.0
+    # adversarial: never zero, never clamps -> carries stay live at every
+    # boundary and the relaxation must run its exactness-by-propagation
+    # sweeps rather than converge early
+    m_ramp = (4.0 + np.sin(np.arange(n) / 3000.0)).astype(np.float32)
+    m = np.stack([m_noise, m_ramp], axis=1)
+    a_f, r_f = 80.0, 800.0
+
+    mesh = make_mesh({"sp": 8})
+    fn = shard_map(partial(_pydub_gain_sp, attack_frames=a_f,
+                           release_frames=r_f, axis="sp"),
+                   mesh=mesh, in_specs=P("sp", None),
+                   out_specs=P("sp", None), check_vma=False)
+    got = np.asarray(jax.jit(fn)(jnp.asarray(m)))
+    want = np.stack([np.asarray(a) for a in pydub_gain_multi(
+        [jnp.asarray(m[:, 0]), jnp.asarray(m[:, 1])], a_f, r_f)], axis=1)
+    np.testing.assert_array_equal(got, want)

@@ -125,9 +125,13 @@ def master_array(audio: np.ndarray, sr: int, output_file: str,
             y, info = _master_shard_time(x[:n], sr, settings,
                                          status_callback)
             progress_callback(1, total_steps)
-        except (ValueError, NotImplementedError) as e:
+        except Exception as e:
             # sp eligibility (track length, chunk alignment, mode) is
-            # stricter than the single-chip graph; degrade, don't fail
+            # stricter than the single-chip graph, and the sp compile
+            # path exercises compiler territory the single-chip graph
+            # doesn't; either way the job must still master — degrade,
+            # don't fail (the framework's layered best-effort policy).
+            log.exception("shard_time master failed; degrading")
             status_callback(f"Warning: time-sharding unavailable ({e}); "
                             f"falling back to one device.")
             shard_time = False
@@ -165,7 +169,13 @@ def _master_shard_time(x, sr, settings, status_callback):
     from ame_tpu.parallel.sp_master import master_sequence_parallel_padded
 
     devs = list(jax.local_devices())
-    cap = int(os.environ.get("AME_TPU_SP_DEVICES", 0))
+    cap_env = os.environ.get("AME_TPU_SP_DEVICES", "0")
+    try:
+        cap = int(cap_env)
+    except ValueError:
+        raise RuntimeError(
+            f"AME_TPU_SP_DEVICES must be an integer device count, got "
+            f"{cap_env!r}") from None
     if cap > 0:
         devs = devs[:cap]
     status_callback(f"Running time-sharded mastering graph over "

@@ -538,6 +538,46 @@ def pydub_gain_multi(ms, attack_frames: float, release_frames: float,
                                         init)]
 
 
+def pydub_gain_ends(ms, attack_frames: float, release_frames: float,
+                    interpret: bool | None = None, init=None):
+    """Final attenuation state only ([G]) — what a carry sweep of the
+    sequence-parallel relaxation (parallel/sp_compat._pydub_gain_sp)
+    needs. Avoids materializing the full [N, G] output: the scan path
+    drops per-step outputs; the kernel path runs ONLY the sequential
+    pass-1 walk (the cheapest end-state computation) and steps the last
+    K-group from its emitted start."""
+    G = len(ms)
+    n = ms[0].shape[0]
+    scal = jnp.asarray(
+        [[1.0 / float(attack_frames), 1.0 / float(release_frames)]],
+        jnp.float32)
+    if init is None:
+        init = jnp.zeros((G,), jnp.float32)
+    init = jnp.asarray(init, jnp.float32)
+
+    use_two_pass = (interpret is True or
+                    (jax.default_backend() == "tpu" and n > _SCAN_MAX))
+    if not use_two_pass:
+        inv_a, inv_r = scal[0, 0], scal[0, 1]
+
+        def step(att, mt):
+            return _update(att, mt, inv_a, inv_r), None
+
+        att, _ = jax.lax.scan(step, init, jnp.stack(ms, axis=1))
+        return att
+
+    blk = max(_TB, _BR * _K)
+    npad = -(-n // blk) * blk
+    m1 = tuple(jnp.pad(m, (0, npad - n)).reshape(1, npad) for m in ms)
+    resets = jnp.zeros((1, npad // _K), jnp.float32)
+    starts = _p1(G, m1, resets, scal, init.reshape(1, G),
+                 bool(interpret))                       # [G, npad // _K]
+    # state after the last K-group = scan its K samples from its start
+    # (trailing zero padding freezes the state, so npad ends == n ends)
+    tail = jnp.stack([m1[g][0, npad - _K:] for g in range(G)], axis=1)
+    return _gain_scan(tail, scal, starts[:, -1])[-1]
+
+
 def _two_pass(G, m1, resets, scal, interpret, init=None):
     npad = m1[0].shape[1]
     if init is None:

@@ -128,8 +128,8 @@ def _pre_stages_unchunked(x, settings, sample_rate: float, mesh: Mesh,
                           axis: str, shd, *, analog_on, width_on):
     """Unchunked compat pre stages: each quirk filter's SOS core through
     the exact sequence-parallel IIR, blends and int16 requantization
-    shard-local. Multiband is rejected by the caller (the whole-track
-    exact pydub gain engine is a single-chip construct)."""
+    shard-local. The caller runs ``_multiband_compat_sp`` after this
+    when the multiband stage is on."""
     sr = float(sample_rate)
 
     def _shelf(x, cutoff_hz, gain_db, kind):
@@ -194,7 +194,7 @@ def _pydub_gain_sp(m_loc, attack_frames: float, release_frames: float,
 
     m_loc: [Ln, G] local max-attenuation. Returns [Ln, G] attenuations.
     """
-    from ame_tpu.ops.pydub_gain import pydub_gain_multi
+    from ame_tpu.ops.pydub_gain import pydub_gain_ends, pydub_gain_multi
 
     G = m_loc.shape[1]
     ndev = lax.axis_size(axis)
@@ -214,7 +214,8 @@ def _pydub_gain_sp(m_loc, attack_frames: float, release_frames: float,
 
     def body(st):
         c, _, j = st
-        e = run_from(c)[-1]                                # [G]
+        # carry-only sweep: end state without the full [Ln, G] output
+        e = pydub_gain_ends(ms, attack_frames, release_frames, init=c)
         es = lax.all_gather(e, axis)                       # [ndev, G]
         nxt = jnp.where(sidx == 0, jnp.zeros((G,), e.dtype),
                         es[sidx - 1])
@@ -513,14 +514,23 @@ def master_compat_sequence_parallel(x: jax.Array, sample_rate: float,
         # the check must see the TRUE track length, not the padded buffer:
         # padding a 2 s track to the chunk granule would otherwise run the
         # full frame controller over zeros instead of matching the
-        # single-chip short-track gain branch
-        nv_host = (n if n_valid is None
-                   else int(n_valid) if isinstance(n_valid, (int, np.integer))
-                   else None)
-        if nv_host is not None and nv_host < (LN.RING + 1) * hop:
+        # single-chip short-track gain branch. Compat sp therefore takes
+        # a CONCRETE n_valid (the quality path keeps traced lengths) —
+        # the padded wrapper always passes a host int.
+        if n_valid is not None and not isinstance(n_valid,
+                                                  (int, np.integer)):
+            raise ValueError("compat sequence-parallel mastering needs a "
+                             "concrete (host int) n_valid; got a traced "
+                             "value")
+        nv_host = n if n_valid is None else int(n_valid)
+        if nv_host < (LN.RING + 1) * hop:
             raise ValueError("compat loudnorm needs >= 3.1 s of audio "
                              "(the controller's priming window); use the "
                              "single-chip graph for short tracks")
+    if multiband_on and not chunked and local_n < int(5.0 * sr / 1000.0):
+        raise ValueError(
+            f"shards of {local_n} samples are shorter than the pydub "
+            f"detector window; use the single-chip graph for tiny tracks")
     chunk_len = int(C.COMPAT_CHUNK_SECONDS * sr)
     if chunked and local_n % chunk_len:
         raise ValueError(

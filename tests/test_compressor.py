@@ -335,3 +335,26 @@ def test_jacobi_awkward_lengths(n):
         jnp.asarray([[1 / 220.5, 1 / 2205.0]], jnp.float32),
         jnp.zeros(1)))[:, 0]
     np.testing.assert_allclose(np.asarray(got[0]), ref, atol=1e-6)
+
+
+def test_gain_ends_matches_full_engine():
+    """pydub_gain_ends (the sp relaxation's carry-only sweep) must equal
+    the full engine's final state bit-for-bit on both the scan and the
+    kernel (interpret) paths, with a nonzero initial state."""
+    import ame_tpu.ops.pydub_gain as pg
+
+    rng = np.random.default_rng(5)
+    n = 1 << 17
+    m1 = np.maximum(0.0, rng.standard_normal(n)).astype(np.float32) * 5
+    m2 = (3.0 + np.sin(np.arange(n) / 4000)).astype(np.float32)
+    init = jnp.asarray([1.5, 0.7])
+    for interp in (None, True):
+        full = pg.pydub_gain_multi([jnp.asarray(m1), jnp.asarray(m2)],
+                                   220.5, 2205.0, interpret=interp,
+                                   init=init)
+        ends = pg.pydub_gain_ends([jnp.asarray(m1), jnp.asarray(m2)],
+                                  220.5, 2205.0, interpret=interp,
+                                  init=init)
+        np.testing.assert_array_equal(
+            np.asarray(ends),
+            np.asarray(jnp.stack([full[0][-1], full[1][-1]])))

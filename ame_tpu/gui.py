@@ -148,6 +148,11 @@ class MasteringApp(_Root if tk else object):
         ttk.Checkbutton(art, text="Also export a high-quality MP3",
                         variable=self.mp3_var).grid(row=2, column=1,
                                                     sticky="w", padx=6)
+        self.shard_var = tk.BooleanVar(value=False)
+        ttk.Checkbutton(art, text="Distribute this track across all chips "
+                                  "(long tracks)",
+                        variable=self.shard_var).grid(row=3, column=1,
+                                                      sticky="w", padx=6)
 
         self.tag_label = ttk.Label(outer, text="Studio Notes: ready.",
                                    relief=tk.SUNKEN, padding=4,
@@ -296,6 +301,7 @@ class MasteringApp(_Root if tk else object):
             "art_prompt": self.prompt_var.get(),
             "auto_generate_prompt": self.auto_prompt_var.get(),
             "create_mp3": self.mp3_var.get(),
+            "shard_time": self.shard_var.get(),
         })
 
         # queue-marshaled callbacks: worker thread only enqueues

@@ -577,6 +577,7 @@ def _web_ui() -> str:
 </fieldset>
 <fieldset><legend>Export</legend>
  <label><input type="checkbox" id="create_mp3" checked> Also create MP3 (V0)</label>
+ <label><input type="checkbox" id="shard_time"> Distribute this track across all chips (long tracks)</label>
 </fieldset>
 <button id="go">Master it</button>
 <progress id="bar" max="1" value="0"></progress>
@@ -611,6 +612,7 @@ $('go').onclick = async () => {
   for (const id of SLIDERS) settings[id] = parseFloat($(id).value);
   settings.multiband = $('multiband').checked;
   settings.create_mp3 = $('create_mp3').checked;
+  settings.shard_time = $('shard_time').checked;
   settings.auto_generate_prompt = $('auto_generate_prompt').checked;
   settings.art_prompt = $('art_prompt').value;
   settings.original_filename = f.name;

@@ -3,6 +3,12 @@
 multiband -> loudnorm -> alimiter, with the Appendix-A quirks) on one long
 track sharded over the mesh time axis.
 
+Reference sites carried through (via the single-chip ops this module
+re-routes): chunk resets audio_mastering_engine.py:178/185-204 (Q6), the
+blend EQ :283-298 (Q1-Q3/Q14), subtractive crossover + saturating adds
+:299-309 (Q4/Q7), pydub dynamics :306-308, loudnorm two-pass :229-241,
+alimiter :223 (Q8).
+
 The compat chain turns out to parallelize *better* than the quality chain,
 because the reference's own 30 s chunk resets (quirk Q6) cut every DSP
 recurrence at chunk boundaries:

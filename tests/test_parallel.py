@@ -562,3 +562,52 @@ def test_pydub_gain_sp_exact_vs_single():
     want = np.stack([np.asarray(a) for a in pydub_gain_multi(
         [jnp.asarray(m[:, 0]), jnp.asarray(m[:, 1])], a_f, r_f)], axis=1)
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_sp_compat_randomized_settings(monkeypatch, seed):
+    """Randomized settings/content sweep: the sp compat chain must track
+    the single-chip graph across random slider positions, chunked and
+    unchunked."""
+    import ame_tpu.config as config
+    from ame_tpu.config import MasterSettings
+    from ame_tpu.graph.chain import master_graph
+    from ame_tpu.parallel.sp_master import master_sequence_parallel
+
+    monkeypatch.setattr(config, "COMPAT_CHUNK_SECONDS", 1.0)
+    rng = np.random.default_rng(seed)
+    sr = 16000
+    n = 8 * sr
+    x = make_test_signal("noise", n, sr, seed=seed) * float(
+        rng.uniform(0.05, 0.3))
+    t = np.arange(n) / sr
+    x[:, 0] += 0.15 * np.sin(2 * np.pi * rng.uniform(100, 400) * t)
+    x[:, 1] *= 0.9
+    x = (np.trunc(np.clip(x, -1, 1) * 32767.0) / 32768.0).astype(np.float32)
+
+    chunked = bool(seed % 2)
+    s = MasterSettings(
+        analog_character=float(rng.uniform(0, 40)),
+        bass_boost=float(rng.uniform(-2, 3)),
+        mid_cut=float(rng.uniform(0, 2)),
+        presence_boost=float(rng.uniform(-1, 2)),
+        treble_boost=float(rng.uniform(-1, 2)),
+        width=float(rng.uniform(0.8, 1.5)),
+        multiband=True,
+        low_thresh=float(rng.uniform(-35, -20)),
+        mid_thresh=float(rng.uniform(-35, -20)),
+        high_thresh=float(rng.uniform(-35, -20)),
+        low_ratio=float(rng.uniform(2, 6)),
+        mid_ratio=float(rng.uniform(2, 6)),
+        high_ratio=float(rng.uniform(2, 6)),
+        lufs=float(rng.uniform(-18, -10)),
+        mode="compat", compat_chunked=chunked)
+    mesh = make_mesh({"sp": 8})
+    y_sp, info_sp = master_sequence_parallel(jnp.asarray(x), sr, s, mesh)
+    y_1, info_1 = master_graph(jnp.asarray(x), sr, s)
+    i_sp, i_1 = float(info_sp["input_i"]), float(info_1["input_i"])
+    if np.isfinite(i_1) or np.isfinite(i_sp):
+        assert abs(i_sp - i_1) < 0.1
+    assert float(info_sp["linear_mode"]) == float(info_1["linear_mode"])
+    np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_1),
+                               atol=3e-3, rtol=5e-3)

@@ -1,15 +1,51 @@
-"""Mesh helpers."""
+"""Mesh helpers (single-host and multi-host)."""
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import jax
 from jax.sharding import Mesh
 
 
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> int:
+    """Initialize JAX's multi-process runtime for pod-slice deployments.
+
+    Call ONCE per host process before any jax computation; afterwards
+    ``jax.devices()`` spans the whole slice, so every mesh built by
+    ``make_mesh`` (fleet dp, sequence-parallel sp, dp x tp training) is a
+    GLOBAL mesh and GSPMD lays its collectives over ICI/DCN as the
+    sharding dictates — no code change anywhere else in the package.
+
+    Arguments default to the standard env contract
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID; on
+    Cloud TPU all three can be omitted and the TPU metadata fills them).
+    No-op when neither arguments nor env vars announce a multi-process
+    job. Returns the process count."""
+    coordinator_address = (coordinator_address
+                           or os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    multi_worker_tpu = "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if (coordinator_address is None and num_processes is None
+            and process_id is None and not multi_worker_tpu):
+        return 1
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id)
+    return jax.process_count()
+
+
 def make_mesh(axis_specs: dict[str, int] | None = None,
               devices=None) -> Mesh:
-    """Build a Mesh. Default: all devices on one 'data' axis."""
+    """Build a Mesh. Default: all devices on one 'data' axis (GLOBAL
+    devices when ``init_distributed`` ran — jax.devices() spans every
+    process of the slice)."""
     devices = devices if devices is not None else jax.devices()
     if axis_specs is None:
         axis_specs = {"data": len(devices)}

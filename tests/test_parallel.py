@@ -611,3 +611,19 @@ def test_sp_compat_randomized_settings(monkeypatch, seed):
     assert float(info_sp["linear_mode"]) == float(info_1["linear_mode"])
     np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_1),
                                atol=3e-3, rtol=5e-3)
+
+
+def test_init_distributed_noop_single_host():
+    """Without a multi-process env contract, init_distributed is a no-op
+    returning 1 (single-host boxes keep working untouched)."""
+    import os
+    from ame_tpu.parallel.mesh import init_distributed
+    saved = {k: os.environ.pop(k, None)
+             for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                       "JAX_PROCESS_ID", "TPU_WORKER_HOSTNAMES")}
+    try:
+        assert init_distributed() == 1
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                os.environ[k] = v

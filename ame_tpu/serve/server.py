@@ -528,6 +528,31 @@ class Handler(BaseHTTPRequestHandler):
         elif path == "/healthz":
             self._json(200, {"ok": True,
                              "queue_depth": self.store.queue.qsize()})
+        elif path == "/metrics":
+            # observability snapshot (SURVEY.md §5.5): job mix, queue
+            # depth, device pool, host/device memory
+            with self.store.lock:
+                by_status: dict[str, int] = {}
+                by_device: dict[str, int] = {}
+                for j in self.store.jobs.values():
+                    st = j.get("status", "unknown")
+                    by_status[st] = by_status.get(st, 0) + 1
+                    d = j.get("device")
+                    if d:
+                        by_device[d] = by_device.get(d, 0) + 1
+            out = {"jobs_by_status": by_status,
+                   "jobs_by_device": by_device,
+                   "queue_depth": self.store.queue.qsize(),
+                   "gcs_backend": self.store.gcs is not None,
+                   "ttl_s": self.store.ttl_s}
+            try:
+                from ame_tpu.utils.telemetry import (device_memory_stats,
+                                                     host_rss_mb)
+                out["host_rss_mb"] = host_rss_mb()
+                out["devices"] = device_memory_stats()
+            except Exception:  # telemetry is best-effort
+                pass
+            self._json(200, out)
         else:
             self._json(404, {"error": "not found"})
 

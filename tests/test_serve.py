@@ -517,3 +517,10 @@ def test_shard_time_job(server, tmp_path):
     assert st["status"] == "done", st
     blob = urllib.request.urlopen(server + st["download_url"]).read()
     assert blob[:4] == b"RIFF"
+
+
+def test_metrics_endpoint(server):
+    m = _get(server, "/metrics")
+    assert "jobs_by_status" in m and "queue_depth" in m
+    assert isinstance(m["jobs_by_status"], dict)
+    assert m.get("host_rss_mb") is None or m["host_rss_mb"] > 0

@@ -73,16 +73,52 @@ def _time_config(x, settings, reps=20):
     return (N / SR) / elapsed
 
 
+def _arm_watchdog(seconds: float):
+    """Hard-exit if the first device round-trip never completes — a hung
+    accelerator tunnel (observed at two round ends) would otherwise stall
+    the caller indefinitely; a bounded nonzero exit is diagnosable.
+    Returns a disarm() to call after the first successful fetch."""
+    import os
+    import sys
+    import threading
+
+    fired = threading.Event()
+
+    def _boom():
+        if not fired.is_set():
+            print(f"bench: no device round-trip within {seconds:.0f}s — "
+                  f"accelerator unreachable (tunnel hung?); aborting",
+                  file=sys.stderr, flush=True)
+            os._exit(1)
+
+    t = threading.Timer(seconds, _boom)
+    t.daemon = True
+    t.start()
+
+    def disarm():
+        fired.set()
+        t.cancel()
+
+    return disarm
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--all-configs", action="store_true",
                     help="also report per-config lines (BASELINE configs)")
+    ap.add_argument("--watchdog-s", type=float, default=1200.0,
+                    help="abort if the first device round-trip takes "
+                         "longer than this (cold compile included)")
     args = ap.parse_args()
 
+    import ame_tpu  # noqa: F401  — platform override + compile cache first
     import jax.numpy as jnp
 
+    disarm = _arm_watchdog(args.watchdog_s)
     rng = np.random.default_rng(0)
     x = jnp.asarray(0.1 * rng.standard_normal((N, 2)), jnp.float32)
+    float(np.asarray(x[0, 0]))    # first round-trip: upload + fetch
+    disarm()
     configs = _configs()
 
     if args.all_configs:

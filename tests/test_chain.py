@@ -280,3 +280,24 @@ def test_mb_edges_implies_multiband():
     s = MasterSettings(mb_edges=(250.0, 2000.0))
     assert s.multiband is True
     assert s.structure_key()[2] is True
+
+
+@pytest.mark.parametrize("sr", [96000, 8000])
+def test_extreme_sample_rates(sr):
+    """The fixed-frequency chain must stay constructible and sane at
+    96 kHz (all bands far below Nyquist) and 8 kHz (treble shelf and the
+    4 kHz band sit AT/above Nyquist — the clamps keep scipy legal, quirk
+    Q14 / the shelf Nyquist clamp)."""
+    from ame_tpu.config import MasterSettings
+    from ame_tpu.graph.chain import master_graph
+
+    n = 2 * sr
+    x = make_test_signal("noise", n, sr, seed=2) * 0.2
+    for mode in ("quality", "compat"):
+        s = MasterSettings(bass_boost=2.0, treble_boost=1.0,
+                           presence_boost=1.0, width=1.2,
+                           lufs=-16.0, mode=mode)
+        y, info = master_graph(jnp.asarray(x), sr, s)
+        y = np.asarray(y)
+        assert y.shape == x.shape and np.isfinite(y).all(), (sr, mode)
+        assert np.abs(y).max() <= 1.001

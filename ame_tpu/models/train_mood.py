@@ -116,6 +116,10 @@ def main(argv=None) -> int:
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="save params+optimizer state every epoch and "
+                         "RESUME from the newest checkpoint on restart "
+                         "(orbax; models/checkpoint.py)")
     args = ap.parse_args(argv)
 
     import jax
@@ -138,9 +142,17 @@ def main(argv=None) -> int:
         init_fn, step_fn, place_batch = make_sharded_train_step(
             mesh, learning_rate=args.lr)
         params, opt_state = init_fn(0)
+        start_epoch = 0
+        if args.checkpoint_dir:
+            from ame_tpu.models.checkpoint import restore_train_state
+            params, opt_state, start_epoch = restore_train_state(
+                args.checkpoint_dir, params, opt_state)
+            if start_epoch:
+                log.info("resumed from checkpoint at epoch %d",
+                         start_epoch - 1)
         key = jax.random.PRNGKey(0)
         bsz = max(args.batch // ndev * ndev, ndev)
-        for epoch in range(args.epochs):
+        for epoch in range(start_epoch, args.epochs):
             perm = rng.permutation(len(examples))
             losses, accs = [], []
             for i in range(0, len(perm) - bsz + 1, bsz):
@@ -154,6 +166,10 @@ def main(argv=None) -> int:
                 accs.append(float(acc))
             log.info("epoch %d: loss %.4f acc %.3f", epoch,
                      np.mean(losses), np.mean(accs))
+            if args.checkpoint_dir:
+                from ame_tpu.models.checkpoint import save_train_state
+                save_train_state(args.checkpoint_dir, epoch, params,
+                                 opt_state)
         path = mood_cnn.save_params(
             jax.device_get(params), args.out)
         log.info("saved weights to %s", path)

@@ -78,3 +78,31 @@ def test_held_out_accuracy_above_chance(fresh_cache):
             correct += pred == cls
             total += 1
     assert correct / total >= 0.75, f"{correct}/{total}"
+
+
+def test_train_checkpoint_roundtrip(tmp_path):
+    """models/checkpoint: save -> restore reproduces params + optimizer
+    state exactly and resumes at the next epoch; no checkpoint -> fresh
+    state at epoch 0 (SURVEY.md §5.4, training side)."""
+    import jax
+    import optax
+    from ame_tpu.models import mood_cnn
+    from ame_tpu.models.checkpoint import (restore_train_state,
+                                           save_train_state)
+
+    params = mood_cnn.init_params(3)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    ck = str(tmp_path / "ck")
+
+    p0, o0, e0 = restore_train_state(ck, params, opt_state)
+    assert e0 == 0
+
+    save_train_state(ck, 4, params, opt_state)
+    zeroed = jax.tree_util.tree_map(lambda a: a * 0, params)
+    p1, o1, e1 = restore_train_state(ck, zeroed, opt_state)
+    assert e1 == 5
+    flat_a = jax.tree_util.tree_leaves(p1)
+    flat_b = jax.tree_util.tree_leaves(params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

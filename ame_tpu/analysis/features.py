@@ -75,11 +75,67 @@ def rms_mean(y: jax.Array, frame_length: int = 2048, hop: int = 512):
     return jnp.mean(jnp.sqrt(jnp.mean(frames * frames, axis=1)))
 
 
+KEY_NAMES = ("C", "C#", "D", "D#", "E", "F", "F#", "G", "G#", "A",
+             "A#", "B")
+
+# Krumhansl-Schmuckler tonal-hierarchy profiles (major / minor) — the
+# standard probe-tone ratings used for key finding; correlation against
+# all 24 rotations picks the key. (Beyond the reference's brief — a
+# capability-add like streaming/automaster.)
+_KS_MAJOR = np.array([6.35, 2.23, 3.48, 2.33, 4.38, 4.09,
+                      2.52, 5.19, 2.39, 3.66, 2.29, 2.88], np.float32)
+_KS_MINOR = np.array([6.33, 2.68, 3.52, 5.38, 2.60, 3.53,
+                      2.54, 4.75, 3.98, 2.69, 3.34, 3.17], np.float32)
+
+
+def _key_profiles() -> np.ndarray:
+    """[24, 12] z-scored profiles: rows 0-11 major keys C..B, 12-23
+    minor. Row k's tonic is KEY_NAMES[k % 12]."""
+    rows = [np.roll(_KS_MAJOR, k) for k in range(12)] + \
+           [np.roll(_KS_MINOR, k) for k in range(12)]
+    P = np.stack(rows)
+    P = P - P.mean(axis=1, keepdims=True)
+    return (P / np.linalg.norm(P, axis=1, keepdims=True)).astype(np.float32)
+
+
+def _chroma_fold(sr: float, n_fft: int) -> np.ndarray:
+    """[12, bins] pitch-class fold matrix (host-built): each STFT bin in
+    55 Hz..5 kHz votes for its nearest equal-tempered pitch class."""
+    nbins = n_fft // 2 + 1
+    freqs = np.linspace(0.0, sr / 2.0, nbins)
+    midi = 69.0 + 12.0 * np.log2(np.maximum(freqs, 1e-9) / 440.0)
+    pc = np.round(midi).astype(int) % 12
+    valid = (freqs >= 55.0) & (freqs <= 5000.0)
+    fold = np.zeros((12, nbins), np.float32)
+    fold[pc[valid], np.arange(nbins)[valid]] = 1.0
+    return fold
+
+
+def key_index(mag: jax.Array, sr: float) -> jax.Array:
+    """Key estimate from an STFT magnitude [bins, frames]: chroma fold ->
+    time-mean pitch-class energy -> correlation with the 24 K-S
+    profiles -> argmax index (0-11 major C..B, 12-23 minor)."""
+    fold = jnp.asarray(_chroma_fold(sr, 2 * (mag.shape[0] - 1)))
+    chroma = jnp.mean(jnp.matmul(fold, mag * mag,
+                                 precision=jax.lax.Precision.HIGHEST),
+                      axis=1)
+    c = chroma - jnp.mean(chroma)
+    c = c / jnp.maximum(jnp.linalg.norm(c), 1e-12)
+    P = jnp.asarray(_key_profiles())
+    return jnp.argmax(P @ c).astype(jnp.float32)
+
+
+def key_name(idx: int) -> str:
+    idx = int(idx)
+    return f"{KEY_NAMES[idx % 12]} {'major' if idx < 12 else 'minor'}"
+
+
 @partial(jax.jit, static_argnums=(1,))
 def extract_all(y: jax.Array, sr: float):
     """All technical features in ONE program (one device dispatch):
-    returns (tempo_bpm, centroid_mean, rms_mean). Shares the STFT between
-    the centroid and the onset envelope's mel spectrogram input."""
+    returns (tempo_bpm, centroid_mean, rms_mean, key_idx). Shares the
+    STFT between the centroid, the key chroma, and the onset envelope's
+    mel spectrogram input."""
     mag = S.stft_mag(y, 2048, 512)  # [bins, frames]
 
     # centroid
@@ -108,7 +164,7 @@ def extract_all(y: jax.Array, sr: float):
                              - np.log2(120.0)) ** 2))
     valid = (bpms >= 30.0) & (bpms <= 300.0)
     tempo = bpms[jnp.argmax(jnp.where(valid, ac * prior, -1.0))]
-    return tempo, centroid, rms
+    return tempo, centroid, rms, key_index(mag, sr)
 
 
 def classify(tempo: float, centroid: float, rms: float) -> dict:

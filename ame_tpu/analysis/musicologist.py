@@ -73,13 +73,13 @@ def spectrogram_image(y: jax.Array) -> jax.Array:
 @jax.jit
 def _analyze_jit(params, y):
     """Whole brief in ONE program and ONE host fetch: [4 logits, tempo,
-    centroid, rms]. Serial scalar fetches cost ~45 ms each over the
-    tunneled TPU — batching them into a single 7-float transfer is worth
+    centroid, rms, key]. Serial scalar fetches cost ~45 ms each over the
+    tunneled TPU — batching them into a single 8-float transfer is worth
     ~120 ms per track."""
     img = spectrogram_image(y)
     logits = mood_cnn.predict_logits(params, img[None])[0]
-    t, c, r = F.extract_all(y, float(ANALYSIS_SR))
-    return jnp.concatenate([logits, jnp.stack([t, c, r])])
+    t, c, r, k = F.extract_all(y, float(ANALYSIS_SR))
+    return jnp.concatenate([logits, jnp.stack([t, c, r, k])])
 
 
 def analyze_waveform(y: jax.Array) -> dict:
@@ -95,6 +95,7 @@ def analyze_waveform(y: jax.Array) -> dict:
         "tempo": f"{tempo:.0f} BPM ({buckets['tempo_class']})",
         "brightness": buckets["brightness"],
         "density": buckets["density"],
+        "key": F.key_name(vec[7]),
     }
     if not trained:
         _warn_untrained_once()
@@ -122,7 +123,7 @@ def _analyze_batch_jit(params, ys):
     logits = mood_cnn.predict_logits(params, imgs)          # [B, 4]
     feats = jax.vmap(
         lambda y: jnp.stack(F.extract_all(y, float(ANALYSIS_SR))))(ys)
-    return jnp.concatenate([logits, feats], axis=1)          # [B, 7]
+    return jnp.concatenate([logits, feats], axis=1)          # [B, 8]
 
 
 def _brief_from_vec(vec: np.ndarray) -> dict:
@@ -134,6 +135,7 @@ def _brief_from_vec(vec: np.ndarray) -> dict:
         "tempo": f"{tempo:.0f} BPM ({b['tempo_class']})",
         "brightness": b["brightness"],
         "density": b["density"],
+        "key": F.key_name(vec[7]),
     }
 
 

@@ -73,7 +73,7 @@ def test_analyze_song_brief_contract(tmp_path):
     p = str(tmp_path / "song.wav")
     W.write_wav(p, x, 44100)
     brief = M.analyze_song(p)
-    assert set(brief) == {"mood", "tempo", "brightness", "density"}
+    assert set(brief) == {"mood", "tempo", "brightness", "density", "key"}
     assert brief["mood"] in ("Angry/Anxious", "Calm/Content",
                              "Happy/Excited", "Sad/Depressed")
     assert "BPM (" in brief["tempo"]
@@ -135,7 +135,8 @@ def test_analyze_batch_mixed_paths(tmp_path):
     assert len(briefs) == 3
     assert "error" in briefs[1]
     for i, p in ((0, pa), (2, pb)):
-        assert set(briefs[i]) == {"mood", "tempo", "brightness", "density"}
+        assert set(briefs[i]) == {"mood", "tempo", "brightness",
+                                  "density", "key"}
         # batched result must agree with the single-track path
         assert briefs[i] == analyze_song(str(p))
 
@@ -172,3 +173,46 @@ def test_analyze_batch_mixed_lengths_one_dispatch_per_group(tmp_path):
     assert sorted(c[0] for c in calls) == [1, 2]  # two length groups
     for p, brief in zip(paths, briefs):
         assert brief == M.analyze_song(p)
+
+
+def test_key_detection_synthetic():
+    """Key estimate (capability-add): tonal content with an emphasized
+    tonic must classify to the right key for clear major/minor cases."""
+    import jax.numpy as jnp
+    from ame_tpu.analysis import features as F
+    from ame_tpu.analysis import stft as S
+
+    sr = 22050.0
+    n = int(6 * sr)
+    t = np.arange(n) / sr
+
+    def tone(midi, amp):
+        f = 440.0 * 2 ** ((midi - 69) / 12.0)
+        return amp * np.sin(2 * np.pi * f * t)
+
+    # C major: C-E-G triad over octaves, tonic emphasized
+    cmaj = (tone(60, 1.0) + tone(64, 0.55) + tone(67, 0.65)
+            + tone(72, 0.5) + tone(48, 0.7) + tone(62, 0.2)
+            + tone(65, 0.2) + tone(69, 0.2) + tone(71, 0.2))
+    # A minor: A-C-E triad, tonic emphasized
+    amin = (tone(57, 1.0) + tone(60, 0.55) + tone(64, 0.65)
+            + tone(69, 0.5) + tone(45, 0.7) + tone(59, 0.2)
+            + tone(62, 0.2) + tone(65, 0.2) + tone(67, 0.2))
+    for sig, want in ((cmaj, "C major"), (amin, "A minor")):
+        mag = S.stft_mag(jnp.asarray(sig * 0.1, jnp.float32), 2048, 512)
+        idx = int(F.key_index(mag, sr))
+        assert F.key_name(idx) == want, (F.key_name(idx), want)
+
+
+def test_brief_includes_key():
+    import jax.numpy as jnp
+    from ame_tpu.analysis import musicologist as M
+
+    sr = M.ANALYSIS_SR
+    t = np.arange(int(4 * sr)) / sr
+    y = (0.2 * np.sin(2 * np.pi * 261.63 * t)
+         + 0.1 * np.sin(2 * np.pi * 329.63 * t)
+         + 0.12 * np.sin(2 * np.pi * 392.0 * t)).astype(np.float32)
+    brief = M.analyze_waveform(jnp.asarray(y))
+    assert set(brief) >= {"mood", "tempo", "brightness", "density", "key"}
+    assert brief["key"].split()[1] in ("major", "minor")

@@ -627,3 +627,25 @@ def test_init_distributed_noop_single_host():
         for k, v in saved.items():
             if v is not None:
                 os.environ[k] = v
+
+
+def test_sp_single_device_mesh():
+    """shard_time on a 1-device box (or AME_TPU_SP_DEVICES=1) routes
+    through the sp chain with ndev=1 — every collective degenerates and
+    the result must still match the single-chip graph."""
+    from ame_tpu.config import MasterSettings
+    from ame_tpu.graph.chain import master_graph
+    from ame_tpu.parallel.sp_master import master_sequence_parallel
+
+    sr = 16000
+    n = 4 * sr
+    x = make_test_signal("noise", n, sr, seed=41) * 0.2
+    x = (np.trunc(np.clip(x, -1, 1) * 32767.0) / 32768.0).astype(np.float32)
+    mesh = make_mesh({"sp": 1}, devices=jax.devices()[:1])
+    for mode in ("quality", "compat"):
+        s = MasterSettings(bass_boost=2.0, multiband=True, lufs=-14.0,
+                           mode=mode)
+        y_sp, _ = master_sequence_parallel(jnp.asarray(x), sr, s, mesh)
+        y_1, _ = master_graph(jnp.asarray(x), sr, s)
+        np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_1),
+                                   atol=2e-3, rtol=5e-3)

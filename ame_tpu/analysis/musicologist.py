@@ -117,7 +117,7 @@ def analyze_song(audio_file_path: str) -> dict:
 @jax.jit
 def _analyze_batch_jit(params, ys):
     """The WHOLE batched brief — B spectrograms, one CNN batch, B feature
-    extractions — as ONE program and ONE [B, 7] fetch (round-2 weak #5:
+    extractions — as ONE program and ONE [B, 8] fetch (round-2 weak #5:
     the per-track feature loop made 'batched' mean B dispatches + 1)."""
     imgs = jax.vmap(spectrogram_image)(ys)
     logits = mood_cnn.predict_logits(params, imgs)          # [B, 4]

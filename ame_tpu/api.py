@@ -124,7 +124,8 @@ def master_array(audio: np.ndarray, sr: int, output_file: str,
         try:
             y, info = _master_shard_time(x[:n], sr, settings,
                                          status_callback)
-            progress_callback(1, total_steps)
+        except SpConfigError:
+            raise          # operator misconfiguration must fail loudly
         except Exception as e:
             # sp eligibility (track length, chunk alignment, mode) is
             # stricter than the single-chip graph, and the sp compile
@@ -135,6 +136,8 @@ def master_array(audio: np.ndarray, sr: int, output_file: str,
             status_callback(f"Warning: time-sharding unavailable ({e}); "
                             f"falling back to one device.")
             shard_time = False
+        else:
+            progress_callback(1, total_steps)
     if not shard_time:
         status_callback("Running mastering graph on device...")
         progress_callback(1, total_steps)
@@ -152,6 +155,13 @@ def master_array(audio: np.ndarray, sr: int, output_file: str,
     out = {"output_file": output_file, "sample_rate": sr, "n_samples": n}
     out.update({k: float(v) for k, v in info.items()})
     return out
+
+
+class SpConfigError(Exception):
+    """Operator misconfiguration of the sp pool — never swallowed by the
+    shard_time degrade path (unlike sp-eligibility and compile failures;
+    note XlaRuntimeError subclasses RuntimeError, so a plain RuntimeError
+    re-raise would defeat the degrade policy)."""
 
 
 _shard_time_lock = threading.Lock()
@@ -173,7 +183,7 @@ def _master_shard_time(x, sr, settings, status_callback):
     try:
         cap = int(cap_env)
     except ValueError:
-        raise RuntimeError(
+        raise SpConfigError(
             f"AME_TPU_SP_DEVICES must be an integer device count, got "
             f"{cap_env!r}") from None
     if cap > 0:

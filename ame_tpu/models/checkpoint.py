@@ -21,13 +21,13 @@ def _manager(ckpt_dir: str, keep: int = 3):
 
 def save_train_state(ckpt_dir: str, step: int, params, opt_state) -> None:
     """Write checkpoint ``step`` (blocking — the trainer's epoch cadence
-    doesn't need async saves)."""
-    import jax
+    doesn't need async saves). The pytrees are handed to orbax as-is:
+    global-sharded jax.Arrays save with their shardings (every process of
+    a multi-host job calls this; orbax coordinates the write)."""
     import orbax.checkpoint as ocp
 
     mngr = _manager(ckpt_dir)
-    tree = {"params": jax.device_get(params),
-            "opt_state": jax.device_get(opt_state), "epoch": step}
+    tree = {"params": params, "opt_state": opt_state, "epoch": step}
     mngr.save(step, args=ocp.args.StandardSave(tree))
     mngr.wait_until_finished()
 
@@ -35,8 +35,8 @@ def save_train_state(ckpt_dir: str, step: int, params, opt_state) -> None:
 def restore_train_state(ckpt_dir: str, params, opt_state):
     """(params, opt_state, next_epoch) from the newest checkpoint, or the
     given state and epoch 0 when none exists. ``params``/``opt_state``
-    provide the pytree structure (fresh init values)."""
-    import jax
+    provide the pytree structure AND target shardings (fresh init
+    values — restored arrays land with the same placement)."""
     import orbax.checkpoint as ocp
 
     if not os.path.isdir(ckpt_dir):
@@ -45,7 +45,6 @@ def restore_train_state(ckpt_dir: str, params, opt_state):
     step = mngr.latest_step()
     if step is None:
         return params, opt_state, 0
-    tree = {"params": jax.device_get(params),
-            "opt_state": jax.device_get(opt_state), "epoch": step}
+    tree = {"params": params, "opt_state": opt_state, "epoch": step}
     out = mngr.restore(step, args=ocp.args.StandardRestore(tree))
     return out["params"], out["opt_state"], int(out["epoch"]) + 1

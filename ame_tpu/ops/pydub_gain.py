@@ -497,6 +497,23 @@ def _gain_engine(G, m1, resets, scal, interpret, init=None):
 # Public API
 # ---------------------------------------------------------------------------
 
+
+def _route_kernels(n: int, interpret, force_scan: bool = False) -> bool:
+    """True -> the Pallas engines; False -> the lax.scan path. ONE
+    predicate shared by pydub_gain_multi / pydub_gain_ends /
+    pydub_gain_chunked — the sp relaxation's carry sweeps must route
+    exactly like its final full run."""
+    return not force_scan and (
+        interpret is True or
+        (jax.default_backend() == "tpu" and n > _SCAN_MAX))
+
+
+def _pad_block(n: int) -> int:
+    """Padded length aligned to both engines' block granules."""
+    blk = max(_TB, _BR * _K)
+    return -(-n // blk) * blk
+
+
 def pydub_gain_multi(ms, attack_frames: float, release_frames: float,
                      interpret: bool | None = None,
                      force_scan: bool = False, init=None):
@@ -522,15 +539,11 @@ def pydub_gain_multi(ms, attack_frames: float, release_frames: float,
         init = jnp.zeros((G,), jnp.float32)
     init = jnp.asarray(init, jnp.float32)
 
-    use_two_pass = not force_scan and (
-        interpret is True or
-        (jax.default_backend() == "tpu" and n > _SCAN_MAX))
-    if not use_two_pass:
+    if not _route_kernels(n, interpret, force_scan):
         att = _gain_scan(jnp.stack(ms, axis=1), scal, init)
         return [att[:, g] for g in range(G)]
 
-    blk = max(_TB, _BR * _K)
-    npad = -(-n // blk) * blk
+    npad = _pad_block(n)
     # zero padding = below-threshold freeze: exact, and trimmed afterwards
     m1 = tuple(jnp.pad(m, (0, npad - n)).reshape(1, npad) for m in ms)
     resets = jnp.zeros((1, npad // _K), jnp.float32)
@@ -555,9 +568,7 @@ def pydub_gain_ends(ms, attack_frames: float, release_frames: float,
         init = jnp.zeros((G,), jnp.float32)
     init = jnp.asarray(init, jnp.float32)
 
-    use_two_pass = (interpret is True or
-                    (jax.default_backend() == "tpu" and n > _SCAN_MAX))
-    if not use_two_pass:
+    if not _route_kernels(n, interpret):
         inv_a, inv_r = scal[0, 0], scal[0, 1]
 
         def step(att, mt):
@@ -566,8 +577,7 @@ def pydub_gain_ends(ms, attack_frames: float, release_frames: float,
         att, _ = jax.lax.scan(step, init, jnp.stack(ms, axis=1))
         return att
 
-    blk = max(_TB, _BR * _K)
-    npad = -(-n // blk) * blk
+    npad = _pad_block(n)
     m1 = tuple(jnp.pad(m, (0, npad - n)).reshape(1, npad) for m in ms)
     resets = jnp.zeros((1, npad // _K), jnp.float32)
     starts = _p1(G, m1, resets, scal, init.reshape(1, G),
@@ -611,10 +621,7 @@ def pydub_gain_chunked(ms, attack_frames: float, release_frames: float,
         jnp.float32)
     nc = -(-n // chunk_len)
 
-    use_two_pass = not force_scan and (
-        interpret is True or
-        (jax.default_backend() == "tpu" and n > _SCAN_MAX))
-    if not use_two_pass:
+    if not _route_kernels(n, interpret, force_scan):
         r = np.zeros(n, np.float32)
         r[::chunk_len] = 1.0
         att = _gain_scan_reset(jnp.stack(ms, axis=1),

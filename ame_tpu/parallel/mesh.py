@@ -21,19 +21,24 @@ def init_distributed(coordinator_address: str | None = None,
     sharding dictates — no code change anywhere else in the package.
 
     Arguments default to the standard env contract
-    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID; on
-    Cloud TPU all three can be omitted and the TPU metadata fills them).
-    No-op when neither arguments nor env vars announce a multi-process
-    job. Returns the process count."""
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID). On
+    Cloud TPU multi-host slices where none of those are exported, set
+    ``AME_TPU_DISTRIBUTED=1`` (or pass arguments): that forces
+    ``jax.distributed.initialize()`` whose TPU-metadata auto-detect
+    fills everything in. Without ANY of these signals this is a no-op —
+    single-host boxes must keep working untouched, and auto-calling
+    initialize() on them would hang waiting for a coordinator. Returns
+    the process count."""
     coordinator_address = (coordinator_address
                            or os.environ.get("JAX_COORDINATOR_ADDRESS"))
     if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if process_id is None and os.environ.get("JAX_PROCESS_ID"):
         process_id = int(os.environ["JAX_PROCESS_ID"])
-    multi_worker_tpu = "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    forced = (os.environ.get("AME_TPU_DISTRIBUTED") == "1"
+              or "," in os.environ.get("TPU_WORKER_HOSTNAMES", ""))
     if (coordinator_address is None and num_processes is None
-            and process_id is None and not multi_worker_tpu):
+            and process_id is None and not forced):
         return 1
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

@@ -235,6 +235,13 @@ def _pydub_gain_sp(m_loc, attack_frames: float, release_frames: float,
     return run_from(c_fin)
 
 
+# pydub defaults (the reference call, audio_mastering_engine.py:306-308);
+# the eligibility guard in master_compat_sequence_parallel derives its
+# detector-window minimum from the SAME constant
+_PYDUB_ATTACK_MS = 5.0
+_PYDUB_RELEASE_MS = 50.0
+
+
 def _multiband_compat_sp(x, settings, sample_rate: float, mesh: Mesh,
                          axis: str):
     """Unchunked compat multiband on a time-sharded track — exact pydub
@@ -252,7 +259,7 @@ def _multiband_compat_sp(x, settings, sample_rate: float, mesh: Mesh,
     from ame_tpu.ops import window as W
 
     sr = float(sample_rate)
-    attack_ms, release_ms = 5.0, 50.0        # pydub defaults (reference)
+    attack_ms, release_ms = _PYDUB_ATTACK_MS, _PYDUB_RELEASE_MS
     look = int(int(attack_ms * sr / 1000.0))
     a_f = attack_ms * sr / 1000.0
     r_f = release_ms * sr / 1000.0
@@ -533,7 +540,8 @@ def master_compat_sequence_parallel(x: jax.Array, sample_rate: float,
             raise ValueError("compat loudnorm needs >= 3.1 s of audio "
                              "(the controller's priming window); use the "
                              "single-chip graph for short tracks")
-    if multiband_on and not chunked and local_n < int(5.0 * sr / 1000.0):
+    if (multiband_on and not chunked
+            and local_n < int(_PYDUB_ATTACK_MS * sr / 1000.0)):
         raise ValueError(
             f"shards of {local_n} samples are shorter than the pydub "
             f"detector window; use the single-chip graph for tiny tracks")

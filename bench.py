@@ -74,10 +74,11 @@ def _time_config(x, settings, reps=20):
 
 
 def _arm_watchdog(seconds: float):
-    """Hard-exit if the first device round-trip never completes — a hung
-    accelerator tunnel (observed at two round ends) would otherwise stall
-    the caller indefinitely; a bounded nonzero exit is diagnosable.
-    Returns a disarm() to call after the first successful fetch."""
+    """Hard-exit if the bench never finishes — a hung accelerator tunnel
+    (observed at two round ends, including MID-round hangs after
+    successful round-trips) would otherwise stall the caller
+    indefinitely; a bounded nonzero exit is diagnosable. Returns a
+    disarm() to call after the final report line."""
     import os
     import sys
     import threading
@@ -86,9 +87,9 @@ def _arm_watchdog(seconds: float):
 
     def _boom():
         if not fired.is_set():
-            print(f"bench: no device round-trip within {seconds:.0f}s — "
-                  f"accelerator unreachable (tunnel hung?); aborting",
-                  file=sys.stderr, flush=True)
+            print(f"bench: not finished within {seconds:.0f}s — "
+                  f"accelerator unreachable or wedged (tunnel hung?); "
+                  f"aborting", file=sys.stderr, flush=True)
             os._exit(1)
 
     t = threading.Timer(seconds, _boom)
@@ -106,9 +107,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--all-configs", action="store_true",
                     help="also report per-config lines (BASELINE configs)")
-    ap.add_argument("--watchdog-s", type=float, default=1200.0,
-                    help="abort if the first device round-trip takes "
-                         "longer than this (cold compile included)")
+    ap.add_argument("--watchdog-s", type=float, default=3600.0,
+                    help="abort if the WHOLE bench hasn't finished within "
+                         "this (cold compiles included) — a tunnel hang "
+                         "at ANY round-trip must not stall the caller")
     args = ap.parse_args()
 
     import ame_tpu  # noqa: F401  — platform override + compile cache first
@@ -118,7 +120,6 @@ def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(0.1 * rng.standard_normal((N, 2)), jnp.float32)
     float(np.asarray(x[0, 0]))    # first round-trip: upload + fetch
-    disarm()
     configs = _configs()
 
     if args.all_configs:
@@ -181,6 +182,7 @@ def main():
         "unit": "x_realtime",
         "vs_baseline": round(x_realtime / 500.0, 2),
     }))
+    disarm()
 
 
 if __name__ == "__main__":

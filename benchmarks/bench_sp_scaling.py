@@ -77,11 +77,13 @@ def main():
                 print(json.dumps({"mode": mode, "ndev": ndev,
                                   "skipped": str(e)}))
                 continue
-            base.setdefault(mode, ms)
-            print(json.dumps({
-                "mode": mode, "ndev": ndev, "ms": round(ms, 1),
-                "x_realtime": round((n / sr) / (ms / 1e3), 1),
-                "speedup_vs_1": round(base[mode] / ms, 2)}))
+            if ndev == 1:
+                base[mode] = ms
+            row = {"mode": mode, "ndev": ndev, "ms": round(ms, 1),
+                   "x_realtime": round((n / sr) / (ms / 1e3), 1)}
+            if mode in base:            # only vs a REAL ndev=1 run
+                row["speedup_vs_1"] = round(base[mode] / ms, 2)
+            print(json.dumps(row))
 
 
 if __name__ == "__main__":

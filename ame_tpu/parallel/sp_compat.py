@@ -200,15 +200,24 @@ def _pydub_gain_sp(m_loc, attack_frames: float, release_frames: float,
 
     m_loc: [Ln, G] local max-attenuation. Returns [Ln, G] attenuations.
     """
+    import os
+
     from ame_tpu.ops.pydub_gain import pydub_gain_ends, pydub_gain_multi
 
+    # AME_TPU_SP_GAIN_INTERPRET=1 forces the Pallas engines through the
+    # interpreter — lets the CPU test suite exercise the same
+    # pallas-inside-shard_map-inside-while_loop composition the real TPU
+    # path uses (None = normal backend routing)
+    interp = (True if os.environ.get("AME_TPU_SP_GAIN_INTERPRET") == "1"
+              else None)
     G = m_loc.shape[1]
     ndev = lax.axis_size(axis)
     sidx = lax.axis_index(axis)
     ms = [m_loc[:, g] for g in range(G)]
 
     def run_from(c):
-        atts = pydub_gain_multi(ms, attack_frames, release_frames, init=c)
+        atts = pydub_gain_multi(ms, attack_frames, release_frames,
+                                interpret=interp, init=c)
         return jnp.stack(atts, axis=1)                     # [Ln, G]
 
     if ndev == 1:
@@ -221,7 +230,8 @@ def _pydub_gain_sp(m_loc, attack_frames: float, release_frames: float,
     def body(st):
         c, _, j = st
         # carry-only sweep: end state without the full [Ln, G] output
-        e = pydub_gain_ends(ms, attack_frames, release_frames, init=c)
+        e = pydub_gain_ends(ms, attack_frames, release_frames,
+                            interpret=interp, init=c)
         es = lax.all_gather(e, axis)                       # [ndev, G]
         nxt = jnp.where(sidx == 0, jnp.zeros((G,), e.dtype),
                         es[sidx - 1])

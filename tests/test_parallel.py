@@ -649,3 +649,34 @@ def test_sp_single_device_mesh():
         y_1, _ = master_graph(jnp.asarray(x), sr, s)
         np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_1),
                                    atol=2e-3, rtol=5e-3)
+
+
+def test_pydub_gain_sp_pallas_interpret(monkeypatch):
+    """The KERNEL engines (via the Pallas interpreter) inside the
+    shard-relaxation's shard_map + while_loop — the same composition the
+    real-TPU sp compat path lowers — must equal the single-track engine.
+    The plain-CPU suite otherwise only ever exercises the scan path."""
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from ame_tpu.ops.pydub_gain import pydub_gain_multi
+    from ame_tpu.parallel.sp_compat import _pydub_gain_sp
+
+    monkeypatch.setenv("AME_TPU_SP_GAIN_INTERPRET", "1")
+    n = 4 * (1 << 16)                        # big enough for real tiles
+    rng = np.random.default_rng(29)
+    m1 = np.maximum(0.0, rng.standard_normal(n)).astype(np.float32) * 4
+    m1[rng.random(n) < 0.5] = 0.0
+    m = m1[:, None]
+    mesh = make_mesh({"sp": 4}, devices=jax.devices()[:4])
+    fn = shard_map(partial(_pydub_gain_sp, attack_frames=220.5,
+                           release_frames=2205.0, axis="sp"),
+                   mesh=mesh, in_specs=P("sp", None),
+                   out_specs=P("sp", None), check_vma=False)
+    got = np.asarray(jax.jit(fn)(jnp.asarray(m)))[:, 0]
+    want = np.asarray(pydub_gain_multi([jnp.asarray(m1)], 220.5,
+                                       2205.0)[0])
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)

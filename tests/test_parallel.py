@@ -680,3 +680,23 @@ def test_pydub_gain_sp_pallas_interpret(monkeypatch):
     want = np.asarray(pydub_gain_multi([jnp.asarray(m1)], 220.5,
                                        2205.0)[0])
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_shard_time_device_cap(tmp_path, monkeypatch):
+    """AME_TPU_SP_DEVICES caps the sp pool (operator reserves chips for
+    per-device serve workers); a malformed value fails loudly instead of
+    silently degrading."""
+    from ame_tpu.api import SpConfigError, master_array
+
+    sr = 16000
+    x = make_test_signal("tone", 2 * sr, sr) * 0.3
+    monkeypatch.setenv("AME_TPU_SP_DEVICES", "2")
+    msgs = []
+    master_array(x, sr, str(tmp_path / "a.wav"), {"lufs": None},
+                 msgs.append, lambda c, t: None, shard_time=True)
+    assert any("over 2 devices" in m for m in msgs), msgs
+
+    monkeypatch.setenv("AME_TPU_SP_DEVICES", "many")
+    with pytest.raises(SpConfigError):
+        master_array(x, sr, str(tmp_path / "b.wav"), {"lufs": None},
+                     msgs.append, lambda c, t: None, shard_time=True)

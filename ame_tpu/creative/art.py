@@ -31,6 +31,24 @@ def register_provider(name: str, fn: Provider, activate: bool = True) -> None:
         _active = name
 
 
+def _gcloud_project_id() -> Optional[str]:
+    """Project-id fallback when ADC carries credentials but no project:
+    ask the gcloud CLI, exactly as the reference does (engine:157-159).
+    Returns None when gcloud is absent/unconfigured (caller degrades)."""
+    import subprocess
+    try:
+        out = subprocess.run(
+            ["gcloud", "config", "get-value", "project"],
+            capture_output=True, text=True, timeout=15, check=True,
+        ).stdout.strip()
+    except (OSError, subprocess.SubprocessError):
+        return None
+    # unconfigured gcloud prints "(unset)" (to stdout or stderr by version)
+    if not out or out.startswith("("):
+        return None
+    return out
+
+
 def _try_register_vertex() -> None:
     if "vertex" in _providers:
         return
@@ -43,6 +61,8 @@ def _try_register_vertex() -> None:
 
     def vertex_provider(prompt: str, out_path: str) -> str:
         credentials, project_id = google.auth.default()
+        if not project_id:
+            project_id = _gcloud_project_id()
         if not project_id:
             raise RuntimeError("could not determine GCP project id")
         vertexai.init(project=project_id, location="us-central1",

@@ -37,6 +37,7 @@ progress bar; art rendering on done :360-380) with original markup.
 from __future__ import annotations
 
 import contextlib
+import hmac
 import json
 import logging
 import os
@@ -119,6 +120,13 @@ class JobStore:
         # WAV — far past any single-track master, small enough to bound disk.
         self.max_upload_bytes = int(float(os.environ.get(
             "AME_TPU_SERVE_MAX_UPLOAD_MB", 2048)) * 1024 * 1024)
+        # Abuse controls — both OFF by default (the reference's implied App
+        # Engine backend had platform-level controls; a standalone server
+        # needs its own): AME_TPU_SERVE_TOKEN gates every mutating endpoint
+        # behind `Authorization: Bearer <token>`; AME_TPU_SERVE_QUOTA caps
+        # in-flight (queued or running) jobs per client address.
+        self.auth_token = os.environ.get("AME_TPU_SERVE_TOKEN") or None
+        self.client_quota = int(os.environ.get("AME_TPU_SERVE_QUOTA", "0"))
         self.gcs = None
         bucket = os.environ.get("AME_TPU_SERVE_GCS_BUCKET")
         if bucket:
@@ -154,6 +162,14 @@ class JobStore:
     def create_job(self, name: str, state: dict) -> None:
         with self.lock:
             self.jobs[name] = state
+
+    def active_jobs_for(self, client: str) -> int:
+        """In-flight (queued or running) jobs attributed to one client
+        address — the AME_TPU_SERVE_QUOTA accounting unit."""
+        with self.lock:
+            return sum(1 for j in self.jobs.values()
+                       if j.get("client") == client
+                       and j.get("status") == "processing")
 
     def update_job(self, name: str, **fields) -> None:
         with self.lock:
@@ -358,9 +374,22 @@ class Handler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):
         log.info("%s %s", self.address_string(), fmt % args)
 
+    def _authorized(self) -> bool:
+        """Bearer-token gate on mutating endpoints (AME_TPU_SERVE_TOKEN;
+        off when unset). Reads stay open — /status and /download names are
+        unguessable (uuid-suffixed) and the web UI must keep working."""
+        token = self.store.auth_token
+        if not token:
+            return True
+        hdr = self.headers.get("Authorization", "")
+        return hmac.compare_digest(hdr, f"Bearer {token}")
+
     # -- routes ---------------------------------------------------------------
     def do_POST(self):
         path = urlparse(self.path).path
+        if not self._authorized():
+            self._json(401, {"error": "missing or bad bearer token"})
+            return
         if path == "/generate-upload-url":
             try:
                 req = json.loads(self._read_body() or b"{}")
@@ -401,6 +430,14 @@ class Handler(BaseHTTPRequestHandler):
                 if input_path is None:
                     self._json(404, {"error": f"no upload for {uri}"})
                     return
+                client = self.client_address[0]
+                quota = self.store.client_quota
+                if quota > 0 and \
+                        self.store.active_jobs_for(client) >= quota:
+                    self._json(429, {"error":
+                                     f"quota exceeded: {quota} in-flight "
+                                     f"job(s) per client"})
+                    return
                 stem = os.path.splitext(os.path.basename(input_path))[0]
                 out_name = f"{stem}_mastered.wav"
                 art_name = f"{stem}_mastered_art.png"
@@ -411,6 +448,7 @@ class Handler(BaseHTTPRequestHandler):
                     "status": "processing", "messages": [],
                     "progress": [0, 1], "tag": "", "art_file": None,
                     "settings": settings, "created": time.time(),
+                    "client": client,
                 })
                 self.store.persist()
                 self.store.queue.put((out_name, settings))
@@ -426,6 +464,9 @@ class Handler(BaseHTTPRequestHandler):
 
     def do_PUT(self):
         path = urlparse(self.path).path
+        if not self._authorized():
+            self._json(401, {"error": "missing or bad bearer token"})
+            return
         if not path.startswith("/upload/"):
             self._json(404, {"error": "not found"})
             return
@@ -655,10 +696,13 @@ $('go').onclick = async () => {
       headers:{'Content-Type':'application/json'},
       body: JSON.stringify({gcs_uri, settings})});
     const {processed_filename, image_filename} = await r.json();
-    let failures = 0;
+    let failures = 0;  // 5 CONSECUTIVE failures give up (index.html:293-331)
     const poll = async () => {
       try {
-        const s = await (await fetch(`/status?audio_filename=${processed_filename}&image_filename=${image_filename}`)).json();
+        const r = await fetch(`/status?audio_filename=${processed_filename}&image_filename=${image_filename}`);
+        if (!r.ok) throw new Error(`status check failed: ${r.status}`);
+        const s = await r.json();
+        failures = 0;  // reset on a successful poll, as the reference does
         if (s.status === 'done') {
           $('bar').value = 1;
           if (s.tag) $('tag').textContent = s.tag;
@@ -674,7 +718,7 @@ $('go').onclick = async () => {
         if (s.progress && s.progress[1] > 0) $('bar').value = s.progress[0] / s.progress[1];
         log(`processing ${s.progress[0]}/${s.progress[1]}…`);
       } catch (e) {
-        if (++failures > 5) { log('giving up'); setBusy(false); return; }
+        if (++failures >= 5) { log('error: could not check status, connection lost'); setBusy(false); return; }
       }
       setTimeout(poll, 2000);
     };

@@ -175,11 +175,38 @@ def multiband_compress(x_float, sample_rate, settings,
 
 # --- BS.1770 integrated loudness (oracle for N3) ----------------------------
 
+def k_weighting_sos(fs):
+    """K-weighting SOS built HERE, independent of ame_tpu (the oracle must
+    not trust the code under test — round-3 verdict weak #6). Derivation:
+    ITU-R BS.1770-4 publishes the two digital stages only at 48 kHz; the
+    analog prototypes recovered from that table (head-model high shelf
+    f0=1681.97 Hz / +4 dB / Q=0.7072, RLB highpass f0=38.135 Hz /
+    Q=0.5003) are bilinear-transformed at the working rate with frequency
+    prewarping, via scipy.signal.bilinear — a different derivation path
+    from dsp/design.py's hand-rolled RBJ-style formulation.
+    """
+    from scipy.signal import bilinear
+    f0, gain_db, q = 1681.974450955533, 3.999843853973347, 0.7071752369554196
+    vb_exp = 0.4996667741545416
+    fhp, qhp = 38.13547087602444, 0.5003270373238773
+    # prewarped analog prototype -> bilinear(fs): wc = 2 fs tan(pi f0 / fs)
+    # makes scipy's non-prewarping bilinear land the pole exactly at f0.
+    wc = 2.0 * fs * np.tan(np.pi * f0 / fs)
+    vh = 10.0 ** (gain_db / 20.0)
+    vb = vh ** vb_exp
+    b1, a1 = bilinear([vh, vb * wc / q, wc * wc],
+                      [1.0, wc / q, wc * wc], fs)
+    wh = 2.0 * fs * np.tan(np.pi * fhp / fs)
+    b2, a2 = bilinear([1.0, 0.0, 0.0], [1.0, wh / qhp, wh * wh], fs)
+    # the spec leaves the RLB numerator UNNORMALIZED at [1, -2, 1]; the
+    # cascade's resulting ~+0.691 dB at 997 Hz is offset in the LUFS sum
+    b2 = b2 / b2[0]
+    return np.array([np.concatenate([b1, a1]), np.concatenate([b2, a2])])
+
+
 def integrated_lufs(x, sample_rate):
-    """Gated integrated loudness, float64, independent of the device impl
-    (shares only the published filter design)."""
-    from ame_tpu.dsp import design
-    sos = design.k_weighting_sos(sample_rate)
+    """Gated integrated loudness, float64, independent of the device impl."""
+    sos = k_weighting_sos(sample_rate)
     y = sosfilt(sos, np.asarray(x, np.float64), axis=0)
     if y.ndim == 1:
         y = y[:, None]
@@ -294,8 +321,7 @@ def loudnorm_dynamic_gains(x, sample_rate, target_i=-14.0, target_tp=-1.5,
     n = x.shape[0]
     F = -(-n // L)
     xp = np.pad(np.asarray(x, np.float64), ((0, F * L - n), (0, 0)))
-    from ame_tpu.dsp import design
-    sos = design.k_weighting_sos(sample_rate)
+    sos = k_weighting_sos(sample_rate)
     yk = sosfilt(sos, xp, axis=0)
     M0 = np.sum((yk * yk).reshape(F, -1), axis=1)
     peak = np.max(np.abs(xp).reshape(F, -1), axis=1)

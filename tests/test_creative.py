@@ -64,6 +64,36 @@ def test_provider_registry(tmp_path):
     art._active = None
 
 
+class TestGcloudProjectFallback:
+    """Reference parity: when ADC has no project id, the engine shells out
+    to `gcloud config get-value project` (engine:157-159)."""
+
+    def test_reads_gcloud_config(self, monkeypatch):
+        import subprocess
+
+        def fake_run(cmd, **kw):
+            assert cmd == ["gcloud", "config", "get-value", "project"]
+            return subprocess.CompletedProcess(cmd, 0,
+                                               stdout="my-proj-123\n",
+                                               stderr="")
+        monkeypatch.setattr(subprocess, "run", fake_run)
+        assert art._gcloud_project_id() == "my-proj-123"
+
+    def test_unset_or_missing_gcloud_degrades_to_none(self, monkeypatch):
+        import subprocess
+
+        def fake_unset(cmd, **kw):
+            return subprocess.CompletedProcess(cmd, 0, stdout="(unset)\n",
+                                               stderr="")
+        monkeypatch.setattr(subprocess, "run", fake_unset)
+        assert art._gcloud_project_id() is None
+
+        def fake_missing(cmd, **kw):
+            raise FileNotFoundError("gcloud")
+        monkeypatch.setattr(subprocess, "run", fake_missing)
+        assert art._gcloud_project_id() is None
+
+
 class TestProceduralArt:
     def test_render_deterministic_and_mood_aware(self, tmp_path):
         from PIL import Image

@@ -161,6 +161,12 @@ def test_web_ui_reference_parity(server):
         assert f'id="{control}"' in html, control
     assert "<progress" in html
     assert 'id="art"' in html and "art_url" in html
+    # poll-failure budget parity (index.html:293-331): the client must
+    # tolerate 5 CONSECUTIVE /status failures — counting non-ok responses
+    # as failures and resetting the count on each successful poll.
+    assert "failures = 0;  // reset on a successful poll" in html
+    assert "++failures >= 5" in html
+    assert "if (!r.ok) throw" in html
 
 
 def _run_job(base, tmp_path, name, settings, n=4096):
@@ -524,3 +530,82 @@ def test_metrics_endpoint(server):
     assert "jobs_by_status" in m and "queue_depth" in m
     assert isinstance(m["jobs_by_status"], dict)
     assert m.get("host_rss_mb") is None or m["host_rss_mb"] > 0
+
+
+def test_auth_and_quota_abuse_controls(tmp_path, monkeypatch):
+    """AME_TPU_SERVE_TOKEN gates mutating endpoints (401 without it) and
+    AME_TPU_SERVE_QUOTA caps in-flight jobs per client (429 beyond it).
+    Both are OFF by default — every other test in this file runs without
+    them and must keep passing."""
+    monkeypatch.setenv("AME_TPU_SERVE_TOKEN", "s3cret")
+    monkeypatch.setenv("AME_TPU_SERVE_QUOTA", "1")
+    srv, store = make_server(host="127.0.0.1", port=0,
+                             workdir=str(tmp_path / "serve"), workers=1)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        # unauthenticated POST -> 401
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base, "/generate-upload-url", {"filename": "x.wav"})
+        assert ei.value.code == 401
+        # wrong token -> 401
+        req = urllib.request.Request(
+            base + "/generate-upload-url",
+            json.dumps({"filename": "x.wav"}).encode(),
+            {"Content-Type": "application/json",
+             "Authorization": "Bearer wrong"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 401
+
+        def post_auth(path, payload):
+            req = urllib.request.Request(
+                base + path, json.dumps(payload).encode(),
+                {"Content-Type": "application/json",
+                 "Authorization": "Bearer s3cret"})
+            return json.loads(urllib.request.urlopen(req).read())
+
+        # correct token -> upload URL issued
+        r = post_auth("/generate-upload-url",
+                      {"filename": "in.wav", "contentType": "audio/wav"})
+        assert "url" in r and "gcs_uri" in r
+
+        # unauthenticated PUT -> 401
+        put = urllib.request.Request(base + r["url"], b"data", method="PUT")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(put)
+        assert ei.value.code == 401
+
+        # authenticated PUT of a real wav
+        x = make_test_signal("noise", 4096, 44100) * 0.2
+        p = str(tmp_path / "in.wav")
+        write_wav(p, x, 44100)
+        with open(p, "rb") as f:
+            put = urllib.request.Request(
+                base + r["url"], f.read(), method="PUT",
+                headers={"Authorization": "Bearer s3cret"})
+            urllib.request.urlopen(put).read()
+
+        # quota: one fake in-flight job already attributed to this client
+        store.create_job("other_mastered.wav", {
+            "status": "processing", "messages": [], "progress": [0, 1],
+            "tag": "", "art_file": None, "settings": {},
+            "created": time.time(), "client": "127.0.0.1"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post_auth("/start-processing",
+                      {"gcs_uri": r["gcs_uri"],
+                       "settings": {"lufs": None, "create_mp3": False}})
+        assert ei.value.code == 429
+        # job finishes -> quota frees
+        store.update_job("other_mastered.wav", status="done")
+        r2 = post_auth("/start-processing",
+                       {"gcs_uri": r["gcs_uri"],
+                        "settings": {"lufs": None, "create_mp3": False}})
+        assert "processed_filename" in r2
+        # reads stay open without a token
+        st = _get(base, f"/status?audio_filename="
+                        f"{r2['processed_filename']}"
+                        f"&image_filename={r2['image_filename']}")
+        assert st["status"] in ("processing", "done")
+    finally:
+        srv.shutdown()

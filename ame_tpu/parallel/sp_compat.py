@@ -50,7 +50,6 @@ Use via ``parallel.sp_master.master_sequence_parallel`` with
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import numpy as np
 import jax
@@ -70,7 +69,8 @@ from ame_tpu.ops import loudnorm as LN
 from ame_tpu.ops.window import release_scan
 from ame_tpu.ops.limiter import _wedge_pieces
 from ame_tpu.parallel.sequence import sosfilt_sequence_parallel
-from ame_tpu.parallel.sp_master import _left_halo, _true_peak_sharded
+from ame_tpu.parallel.sp_master import (_cache_put, _left_halo,
+                                        _true_peak_sharded)
 
 
 def _shard_map_local(fn, mesh: Mesh, axis: str, n_in: int = 1):
@@ -127,7 +127,7 @@ def _pre_stages_chunked(x, settings, sample_rate: float, chunk_len: int,
                                     chunk_len=chunk_len)
         return y
 
-    return jax.jit(_shard_map_local(local, mesh, axis))(x)
+    return _shard_map_local(local, mesh, axis)(x)
 
 
 def _pre_stages_unchunked(x, settings, sample_rate: float, mesh: Mesh,
@@ -138,27 +138,28 @@ def _pre_stages_unchunked(x, settings, sample_rate: float, mesh: Mesh,
     when the multiband stage is on."""
     sr = float(sample_rate)
 
+    def cs(a):
+        return jax.lax.with_sharding_constraint(a, shd)
+
     def _shelf(x, cutoff_hz, gain_db, kind):
         cutoff_norm = min(cutoff_hz / (0.5 * sr), 0.999999)
         b, a = design.butter_ba(2, cutoff_norm, kind)
         sos = design.ba_to_sos_biquad(b, a)
         f = sosfilt_sequence_parallel(sos, x, mesh, axis)
-        g = jnp.float32(gain_db)
-        return jax.jit(lambda x, f: eq.shelf_blend_compat(x, f, g),
-                       out_shardings=shd)(x, f)
+        return cs(eq.shelf_blend_compat(x, f, jnp.float32(gain_db)))
 
     def _peak(x, center_hz, gain_db, q):
         sos = design.reference_peak_band_sos(sr, center_hz, q)
         f = sosfilt_sequence_parallel(sos, x, mesh, axis)
-        g = jnp.float32(gain_db)
-        return jax.jit(lambda x, f: eq.peak_blend_compat(x, f, g),
-                       out_shardings=shd)(x, f)
+        return cs(eq.peak_blend_compat(x, f, jnp.float32(gain_db)))
 
-    rt = jax.jit(quantize.int16_roundtrip, out_shardings=shd)
+    def rt(x):
+        return cs(quantize.int16_roundtrip(x))
+
     if analog_on:
         factor = float(settings.analog_character) / 100.0
         drive = 1.0 + factor * 0.5
-        x = jax.jit(lambda x: jnp.tanh(x * drive), out_shardings=shd)(x)
+        x = cs(jnp.tanh(x * drive))
         x = _shelf(x, C.ANALOG_LOW_SHELF_HZ, factor * 1.0, "lowpass")
         x = _shelf(x, C.ANALOG_HIGH_SHELF_HZ, factor * 1.5, "highpass")
         x = rt(x)
@@ -170,9 +171,7 @@ def _pre_stages_unchunked(x, settings, sample_rate: float, mesh: Mesh,
     x = _shelf(x, C.TREBLE_SHELF_HZ, float(settings.treble_boost),
                "highpass")
     if width_on:
-        w = jnp.float32(settings.width)
-        x = jax.jit(lambda x: stereo.stereo_width(x, w),
-                    out_shardings=shd)(x)
+        x = cs(stereo.stereo_width(x, jnp.float32(settings.width)))
     return rt(x)
 
 
@@ -311,124 +310,100 @@ def _multiband_compat_sp(x, settings, sample_rate: float, mesh: Mesh,
         return acc * (1.0 / 32768.0)
 
     fn = _shard_map_local(local, mesh, axis, n_in=3)
-    return jax.jit(fn)(x, low, high)
+    return fn(x, low, high)
 
 
 # ---------------------------------------------------------------------------
 # Sequence-parallel loudnorm two-pass
 # ---------------------------------------------------------------------------
 
-def _loudnorm_sp_two_pass(x, sample_rate: float, target_i: float,
-                          target_tp: float, target_lra: float,
-                          mesh: Mesh, axis: str, shd, n_valid=None):
-    """ops.loudnorm.loudnorm_two_pass on a time-sharded track. The frame
-    controller (``_controller_gains``) runs replicated on all-gathered
-    frame moments — the SAME code as the single-chip / golden-ffmpeg
-    path; only the measurement reductions and gain application are
-    sharded. Requires n % hop == 0 (the sp caller's granule)."""
-    sr = float(sample_rate)
+def _loudnorm_measure(x, nv, *, sr, target_i, target_tp, target_lra,
+                      mesh, axis, shd):
+    """Pre-branch half of the sp loudnorm two-pass (traced): frame
+    moments, pass-1 stats + true peak, the pass-1 dynamic run for
+    target_offset, and the linear/silent gate flags. The frame controller
+    (``_controller_gains``) runs replicated on all-gathered frame
+    moments — the SAME code as the single-chip / golden-ffmpeg path;
+    only the measurement reductions and gain application are sharded.
+    Requires n % hop == 0 (the sp caller's granule)."""
     hop = int(round(LN.FRAME_S * sr))
     n = x.shape[0]
     F = n // hop
     ndh = int(round(2.9 * sr)) // hop        # 29 hops: the flush re-measure
-    nv = jnp.asarray(n if n_valid is None else n_valid, jnp.int32)
 
     ksos = design.k_weighting_sos(sr)
     xk = sosfilt_sequence_parallel(ksos, x, mesh, axis)
-
-    @partial(jax.jit, out_shardings=None)
-    def _frames(x, xk):
-        return LN._frame_moments(x, xk, hop)
-
-    M0, M1, M2, peak = _frames(x, xk)        # replicated [F]
+    M0, M1, M2, peak = LN._frame_moments(x, xk, hop)   # replicated [F]
 
     def _hop_stats(yk, nv):
         sq = jnp.sum(yk * yk, axis=1)
         hs = jnp.sum(sq.reshape(F, hop), axis=1)
         return L.gated_stats_from_hops(hs, hop, nv, yk.dtype)
 
-    @partial(jax.jit, out_shardings=None)
-    def _pass1_stats(M0, nv):
-        # hop-grid emulation of loudnorm_pass1's tail double-count: the
-        # last ~2.9 s of hop energies are appended at the track end
-        nvh = nv // hop
-        buf = jnp.concatenate([M0, jnp.zeros((ndh,), M0.dtype)])
-        tail = lax.dynamic_slice_in_dim(buf, jnp.maximum(nvh - ndh, 0),
-                                        ndh)
-        hed = lax.dynamic_update_slice(buf, tail, (nvh,))
-        return L.gated_stats_from_hops(hed, hop, (nvh + ndh) * hop,
-                                       M0.dtype)
-
-    input_i, input_lra, input_thresh = _pass1_stats(M0, nv)
+    # hop-grid emulation of loudnorm_pass1's tail double-count: the
+    # last ~2.9 s of hop energies are appended at the track end
+    nvh = nv // hop
+    buf = jnp.concatenate([M0, jnp.zeros((ndh,), M0.dtype)])
+    tail = lax.dynamic_slice_in_dim(buf, jnp.maximum(nvh - ndh, 0), ndh)
+    hed = lax.dynamic_update_slice(buf, tail, (nvh,))
+    input_i, input_lra, input_thresh = L.gated_stats_from_hops(
+        hed, hop, (nvh + ndh) * hop, M0.dtype)
     input_tp = 20.0 * jnp.log10(jnp.maximum(
-        _true_peak_sharded(x, mesh, axis, n_valid), 1e-12))
+        _true_peak_sharded(x, mesh, axis, nv), 1e-12))
 
     ti = jnp.asarray(target_i, x.dtype)
     tp = jnp.asarray(target_tp, x.dtype)
     lra = jnp.asarray(target_lra, x.dtype)
 
-    @partial(jax.jit, out_shardings=None)
-    def _gains_pass1(M0, M1, M2, peak, nv):
-        F_eff, blk_valid = LN._valid_frames(F, hop, nv)
-        # pass-1 dynamic run: ffmpeg's unmeasured option defaults
-        return LN._controller_gains(
-            M0, M1, M2, peak, hop, F_eff, blk_valid, ti, tp, lra,
-            jnp.asarray(0.0, x.dtype), jnp.asarray(-70.0, x.dtype),
-            jnp.asarray(0.0, x.dtype))
-
-    g0a, g1a = _gains_pass1(M0, M1, M2, peak, nv)
-    apply_g = jax.jit(lambda x, g0, g1: LN.apply_frame_gains(x, g0, g1,
-                                                             hop),
-                      out_shardings=shd)
-    y1 = apply_g(x, g0a, g1a)
+    # pass-1 dynamic run: ffmpeg's unmeasured option defaults
+    F_eff, blk_valid = LN._valid_frames(F, hop, nv)
+    g0a, g1a = LN._controller_gains(
+        M0, M1, M2, peak, hop, F_eff, blk_valid, ti, tp, lra,
+        jnp.asarray(0.0, x.dtype), jnp.asarray(-70.0, x.dtype),
+        jnp.asarray(0.0, x.dtype))
+    y1 = jax.lax.with_sharding_constraint(
+        LN.apply_frame_gains(x, g0a, g1a, hop), shd)
     yk1 = sosfilt_sequence_parallel(ksos, y1, mesh, axis)
-    out1_i, _, out1_th = jax.jit(_hop_stats, out_shardings=None)(yk1, nv)
+    out1_i, _, _ = _hop_stats(yk1, nv)
     target_offset = ti - out1_i
 
-    # ---- pass 2: the linear gates, else the dynamic engine ---------------
     gain_db = ti - input_i
     supplied = ((input_tp != 99.0) & (input_thresh != -70.0)
                 & (input_lra != 0.0) & (input_i != 0.0))
     lin_ok = supplied & (input_tp + gain_db <= tp) & (input_lra <= lra)
     silent = ~jnp.isfinite(input_i)
 
-    # One host scalar sync decides the branch — the staged-graph pattern
-    # (graph/chain.py): on linear-mode tracks (the common case) it skips
-    # the dynamic controller AND a full-track K-weighting pass whose
-    # results a traced jnp.where would compute and discard.
-    silent_h = bool(np.asarray(silent))
-    lin_h = bool(np.asarray(lin_ok)) and not silent_h
-
-    if silent_h:
-        y = x                                 # quirk Q9 passthrough
-        output_i, output_th = input_i, input_thresh
-    elif lin_h:
-        y = jax.jit(lambda x, g: x * 10.0 ** (g / 20.0),
-                    out_shardings=shd)(x, gain_db)
-        output_i, output_th = input_i + gain_db, input_thresh + gain_db
-    else:
-        @partial(jax.jit, out_shardings=None)
-        def _gains_pass2(M0, M1, M2, peak, nv, m_i, m_th, offset):
-            F_eff, blk_valid = LN._valid_frames(F, hop, nv)
-            return LN._controller_gains(M0, M1, M2, peak, hop, F_eff,
-                                        blk_valid, ti, tp, lra, m_i, m_th,
-                                        offset)
-
-        g0d, g1d = _gains_pass2(M0, M1, M2, peak, nv, input_i,
-                                input_thresh, target_offset)
-        y = apply_g(x, g0d, g1d)
-        # output-side stats of the actual output (ffmpeg's r128_out)
-        yko = sosfilt_sequence_parallel(ksos, y, mesh, axis)
-        output_i, _, output_th = jax.jit(_hop_stats,
-                                         out_shardings=None)(yko, nv)
-
-    info = {"input_i": input_i, "input_lra": input_lra,
+    return {"M0": M0, "M1": M1, "M2": M2, "peak": peak,
+            "input_i": input_i, "input_lra": input_lra,
             "input_tp": input_tp, "input_thresh": input_thresh,
-            "target_offset": target_offset,
-            "linear_mode": lin_ok.astype(x.dtype),
-            "gain_db": gain_db if lin_h else jnp.zeros((), x.dtype),
-            "output_i": output_i, "output_thresh": output_th}
-    return y, info
+            "target_offset": target_offset, "gain_db": gain_db,
+            "lin_ok": lin_ok,
+            "flags": jnp.stack([silent, lin_ok])}
+
+
+def _loudnorm_dynamic_apply(x, nv, meas, *, sr, target_i, target_tp,
+                            target_lra, mesh, axis, shd):
+    """Dynamic-branch half (traced): the pass-2 controller run seeded
+    with the measured stats, gain application, and the output-side
+    stats of the actual output (ffmpeg's r128_out)."""
+    hop = int(round(LN.FRAME_S * sr))
+    F = x.shape[0] // hop
+    ti = jnp.asarray(target_i, x.dtype)
+    tp = jnp.asarray(target_tp, x.dtype)
+    lra = jnp.asarray(target_lra, x.dtype)
+    F_eff, blk_valid = LN._valid_frames(F, hop, nv)
+    g0d, g1d = LN._controller_gains(
+        meas["M0"], meas["M1"], meas["M2"], meas["peak"], hop, F_eff,
+        blk_valid, ti, tp, lra, meas["input_i"], meas["input_thresh"],
+        meas["target_offset"])
+    y = jax.lax.with_sharding_constraint(
+        LN.apply_frame_gains(x, g0d, g1d, hop), shd)
+    ksos = design.k_weighting_sos(sr)
+    yko = sosfilt_sequence_parallel(ksos, y, mesh, axis)
+    sq = jnp.sum(yko * yko, axis=1)
+    hs = jnp.sum(sq.reshape(F, hop), axis=1)
+    output_i, _, output_th = L.gated_stats_from_hops(hs, hop, nv, y.dtype)
+    return y, output_i, output_th
 
 
 # ---------------------------------------------------------------------------
@@ -491,7 +466,7 @@ def _alimiter_sp(x, sample_rate: float, mesh: Mesh, axis: str,
 
     fn = shard_map(local, mesh=mesh, in_specs=P(axis, None),
                    out_specs=P(axis, None))
-    return jax.jit(fn)(x)
+    return fn(x)
 
 
 # ---------------------------------------------------------------------------
@@ -564,26 +539,116 @@ def master_compat_sequence_parallel(x: jax.Array, sample_rate: float,
             f"shard-local); pad to ndev*chunk_len or use "
             f"master_sequence_parallel_padded")
     shd = NamedSharding(mesh, P(axis, None))
-    x = jax.device_put(x, shd)
+    x = jax.device_put(jnp.asarray(x), shd)
 
-    if chunked:
-        x = _pre_stages_chunked(
-            x, settings, sr, chunk_len, mesh, axis, analog_on=analog_on,
-            width_on=width_on, multiband_on=multiband_on)
+    # Whole-chain cached programs (round 4): the chain used to run as
+    # dozens of eager dispatches with fresh jit wrappers per call — a full
+    # retrace + one accelerator round-trip per stage (~30 s/call over the
+    # tunneled TPU). Now: ONE measure program + ONE finish program per
+    # call, cached per (settings, shape, mesh). The single host scalar
+    # sync between them is deliberate (the staged-graph pattern,
+    # graph/chain.py): on linear-mode tracks (the common case) it skips
+    # the dynamic controller AND a full-track K-weighting pass whose
+    # results a traced jnp.where would compute and discard.
+    key = (settings, sr, x.shape, str(x.dtype), mesh, axis)
+    progs = _COMPAT_PROGRAMS.get(key)
+    if progs is None:
+        progs = _build_compat_programs(settings, sr, mesh, axis)
+        _cache_put(_COMPAT_PROGRAMS, key, progs)
+
+    if not lufs_on:
+        return progs["pre_limit"](x), {}
+
+    nv = jnp.asarray(nv_host, jnp.int32)
+    xp, meas = progs["measure"](x, nv)
+    flags = np.asarray(meas["flags"])        # ONE host sync: [silent, lin]
+    silent_h = bool(flags[0])
+    lin_h = bool(flags[1]) and not silent_h
+
+    if silent_h:
+        y = progs["finish_silent"](xp)       # quirk Q9 passthrough
+        output_i, output_th = meas["input_i"], meas["input_thresh"]
+    elif lin_h:
+        y = progs["finish_linear"](xp, meas["gain_db"])
+        output_i = meas["input_i"] + meas["gain_db"]
+        output_th = meas["input_thresh"] + meas["gain_db"]
     else:
+        y, output_i, output_th = progs["finish_dynamic"](
+            xp, nv, {k: meas[k] for k in ("M0", "M1", "M2", "peak",
+                                          "input_i", "input_thresh",
+                                          "target_offset")})
+
+    info = {"input_i": meas["input_i"], "input_lra": meas["input_lra"],
+            "input_tp": meas["input_tp"],
+            "input_thresh": meas["input_thresh"],
+            "target_offset": meas["target_offset"],
+            "linear_mode": meas["lin_ok"].astype(x.dtype),
+            "gain_db": (meas["gain_db"] if lin_h
+                        else jnp.zeros((), x.dtype)),
+            "output_i": output_i, "output_thresh": output_th}
+    return y, info
+
+
+_COMPAT_PROGRAMS: dict = {}
+
+
+def _build_compat_programs(settings, sr: float, mesh: Mesh, axis: str):
+    """The compat sp chain as cached jitted programs: ``pre_limit`` (no
+    loudnorm), or ``measure`` + one of three ``finish_*`` branch programs.
+    Each is traced once per (settings, shape, mesh) and reused."""
+    (_, chunked, multiband_on, analog_on, width_on, lufs_on,
+     _) = settings.structure_key()
+    chunk_len = int(C.COMPAT_CHUNK_SECONDS * sr)
+    shd = NamedSharding(mesh, P(axis, None))
+
+    def cs(a):
+        return jax.lax.with_sharding_constraint(a, shd)
+
+    def _pre(x):
+        if chunked:
+            return _pre_stages_chunked(
+                x, settings, sr, chunk_len, mesh, axis,
+                analog_on=analog_on, width_on=width_on,
+                multiband_on=multiband_on)
         x = _pre_stages_unchunked(
             x, settings, sr, mesh, axis, shd, analog_on=analog_on,
             width_on=width_on)
         if multiband_on:
             x = _multiband_compat_sp(x, settings, sr, mesh, axis)
+        return x
 
-    info = {}
-    if lufs_on:
-        x, info = _loudnorm_sp_two_pass(
-            x, sr, float(settings.lufs), float(settings.target_tp),
-            float(settings.target_lra), mesh, axis, shd, n_valid)
-        # ffmpeg pass-2 writes pcm_s16le (graph/chain._stage_normalize)
-        x = jax.jit(quantize.int16_roundtrip, out_shardings=shd)(x)
+    progs = {}
+    if not lufs_on:
+        progs["pre_limit"] = jax.jit(
+            lambda x: _alimiter_sp(_pre(x), sr, mesh, axis))
+        return progs
 
-    y = _alimiter_sp(x, sr, mesh, axis)
-    return y, info
+    ln_kw = dict(sr=sr, target_i=float(settings.lufs),
+                 target_tp=float(settings.target_tp),
+                 target_lra=float(settings.target_lra),
+                 mesh=mesh, axis=axis, shd=shd)
+
+    def measure(x, nv):
+        xp = _pre(x)
+        return cs(xp), _loudnorm_measure(xp, nv, **ln_kw)
+
+    # ffmpeg pass-2 writes pcm_s16le (graph/chain._stage_normalize), so
+    # every finish branch requantizes before the alimiter
+    def finish_silent(x):
+        return _alimiter_sp(cs(quantize.int16_roundtrip(x)), sr, mesh,
+                            axis)
+
+    def finish_linear(x, gain_db):
+        y = quantize.int16_roundtrip(x * 10.0 ** (gain_db / 20.0))
+        return _alimiter_sp(cs(y), sr, mesh, axis)
+
+    def finish_dynamic(x, nv, meas):
+        y, oi, oth = _loudnorm_dynamic_apply(x, nv, meas, **ln_kw)
+        y = _alimiter_sp(cs(quantize.int16_roundtrip(y)), sr, mesh, axis)
+        return y, oi, oth
+
+    progs["measure"] = jax.jit(measure)
+    progs["finish_silent"] = jax.jit(finish_silent)
+    progs["finish_linear"] = jax.jit(finish_linear)
+    progs["finish_dynamic"] = jax.jit(finish_dynamic)
+    return progs

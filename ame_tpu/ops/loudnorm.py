@@ -24,14 +24,20 @@ itself is parallel (see ``_dynamic_jit``):
   first time the OUTPUT short-term reaches the absolute target_I (with a
   negative enough ``offset`` it never latches and the whole run stays
   creep-shaped — real-filter behavior).
-* once latched, EVERY frame takes the env formula (there is NO
-  below-thresh hold): delta = 10^((offset + env_global + target_I −
-  st_eff)/20), where st_eff is the short-term FLOORED at the input's
-  running relative threshold (ungated block mean − 10 LU) and env_global
-  = clip(st_eff − running gated integrated, ±target_LRA/2).
+* once latched, a frame whose input short-term is at or above the
+  input's RUNNING relative threshold (ungated block mean − 10 LU) takes
+  the env formula delta = 10^((offset + env_global + target_I − st)/20)
+  with env_global = clip(st − running gated integrated, ±target_LRA/2);
+  a frame below the running relative threshold HOLDS the last written
+  delta (round 4: pinned per-frame against the real filter via exact
+  gain extraction — the round-3 "floor at the relative threshold"
+  reading was close but wrong in transitions); st ≤ −70 writes the
+  bare-offset delta. The running stats visible to frame k include the
+  gating block ending at k itself.
 * the applied gain is the 21-tap σ=3.5 gaussian over deltas[f−2..f+18],
   linearly interpolated across each frame's samples; the EOF flush
-  freezes the ring, so gains are constant from frame F−28 on.
+  freezes the gain from frame F−29 on at the window value of frame
+  F−28.
 * the running integrated loudness + relative threshold are tracked
   ebur128-style with a 0.1 LU histogram of gated 400 ms blocks.
 * a per-frame true-peak ceiling holds the output at ``target_tp``.
@@ -49,8 +55,8 @@ overriding ffmpeg's documentation: linear-mode gain is ``target_I −
 measured_I`` with the ``offset`` option ignored (in dynamic mode it shifts
 the whole trajectory 1:1 instead); pass-1 input stats double-count the
 final ~2.9 s (the flush re-measures the lookahead ring tail); and the
-dynamic-controller rules above (creep/latch, no hold, relative-threshold
-floor, trailing window, EOF freeze).
+dynamic-controller rules above (creep/latch, below-relative-threshold
+hold, trailing window, EOF freeze one frame ahead).
 """
 
 from __future__ import annotations
@@ -134,12 +140,20 @@ def _controller_gains(M0, M1, M2, peak, L: int, F_eff, blk_valid,
         short-term loudness over target_i, computed from the pre-latch
         trajectory (which is exact up to the latch: the smoothing window
         at frame f only reads deltas written before frame f+28 < f+30);
-      * post-latch deltas are a pure function of the input (cumulative
-        histogram → running gated integrated + relative threshold; NO
-        below-thresh hold exists in the real filter), so no gather or
-        sequential state remains;
-      * the EOF flush freezes the delta ring, so gains are constant from
-        frame F−28 on — an index clamp.
+      * post-latch deltas take the env formula on frames whose input
+        short-term is at or above the RUNNING relative threshold (and on
+        st ≤ −70 frames, which write the bare-offset delta); frames
+        BELOW the running relative threshold HOLD the last written delta
+        (round 4: pinned per-frame-exactly against the real filter via
+        least-squares gain extraction on its 192 kHz output; the
+        round-3 "floor at the relative threshold" emulation was close
+        but measurably wrong in transitions). The hold is a running-max
+        gather over the last fresh frame index — still no scan;
+      * the histogram visible to delta k includes the gating block
+        ending at frame k itself (round 4: was k−1);
+      * the EOF flush freezes the gain from frame F−29 on at the
+        window value of frame F−28 (the real filter computes its flush
+        gain one slot ahead of the frozen frame) — an index select.
 
     Pure [F]-domain math, shared verbatim by the single-chip engine
     (``_dynamic_jit``) and the sequence-parallel compat path, which runs
@@ -208,13 +222,19 @@ def _controller_gains(M0, M1, M2, peak, L: int, F_eff, blk_valid,
 
     def smooth_gains(delta):
         # gain[f] reads deltas[f-2 .. f+18] (the window TRAILS by 2 — fit
-        # on the real filter's transition timing); freeze from F_eff-28
+        # on the real filter's transition timing). EOF flush: frozen from
+        # frame F_eff-29 on at the WINDOW VALUE OF FRAME F_eff-28 (the
+        # real filter computes its flush gain one slot ahead of where it
+        # freezes — pinned by exact gain extraction, round 4); the frame
+        # before the freeze already takes the frozen value as its g1.
         dpad = jnp.concatenate([jnp.full((2,), delta0, dt), delta])
         gext = sum(w[j] * lax.dynamic_slice_in_dim(dpad, j, F + 1)
                    for j in range(GAUSS_TAPS))                     # [F+1]
-        fidx = jnp.minimum(jnp.arange(F), jnp.maximum(F_eff - 28, 0))
-        gain = gext[fidx]
-        gain_next = gext[fidx + 1]
+        farr_ = jnp.arange(F)
+        fz = jnp.maximum(F_eff - 29, 0)
+        fro = jnp.clip(F_eff - 28, 0, F)
+        gain = gext[jnp.where(farr_ < fz, farr_, fro)]
+        gain_next = gext[jnp.where(farr_ + 1 < fz, farr_ + 1, fro)]
         cap = jnp.minimum(1.0, ceil_lin / jnp.maximum(
             peak * jnp.maximum(gain, gain_next), 1e-9))
         return gain * cap, gain_next * cap
@@ -236,16 +256,29 @@ def _controller_gains(M0, M1, M2, peak, L: int, F_eff, blk_valid,
                         jnp.argmax(can_latch).astype(jnp.int32))
     latch_k = jnp.where(any_latch, latch_f + RING, FE)   # delta-axis index
 
-    # ---- post-latch env deltas (pure function of the input) --------------
-    glob_k = glob_cum[jnp.maximum(k_src - 1, 0)]
-    rel_k = rel[jnp.maximum(k_src - 1, 0)]
-    glob_k = jnp.where(karr == 0, jnp.float32(-1e9), glob_k)
-    st_eff = jnp.maximum(st_k, rel_k)
-    env_g = jnp.clip(st_eff - glob_k, -target_lra / 2.0, target_lra / 2.0)
-    cand = 10.0 ** ((offset + env_g + target_i - st_eff) / 20.0)
+    # ---- post-latch env deltas ------------------------------------------
+    # The hist/glob/rel visible when writing delta k include the gating
+    # block ending at frame k itself (round-4 exact-gain pinning).
+    glob_k = glob_cum[k_src]
+    rel_k = rel[k_src]
+    env_g = jnp.clip(st_k - glob_k, -target_lra / 2.0, target_lra / 2.0)
+    cand = 10.0 ** ((offset + env_g + target_i - st_k) / 20.0)
     cand = jnp.where(st_k <= -70.0, 10.0 ** (offset / 20.0), cand)
 
-    delta = jnp.where(karr < jnp.maximum(latch_k, RING), d_pre, cand)
+    # below-relative-threshold HOLD: a frame with -70 < st < rel repeats
+    # the last written delta. Parallel form: gather the candidate of the
+    # most recent FRESH frame (st >= rel, or the st <= -70 bare-offset
+    # write) via a running max of fresh indices; before any fresh frame
+    # the held value is the final pre-latch delta.
+    latch_eff = jnp.maximum(latch_k, RING)
+    fresh = ((karr >= latch_eff) & inner
+             & ((st_k <= -70.0) | (st_k >= rel_k)))
+    last_fresh = lax.cummax(jnp.where(fresh, karr, -1))
+    fallback = d_pre[jnp.maximum(latch_eff - 1, 0)]
+    post = jnp.where(last_fresh >= 0,
+                     cand[jnp.maximum(last_fresh, 0)], fallback)
+
+    delta = jnp.where(karr < latch_eff, d_pre, post)
 
     return smooth_gains(delta)
 

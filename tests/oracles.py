@@ -304,18 +304,32 @@ def loudnorm_dynamic_gains(x, sample_rate, target_i=-14.0, target_tp=-1.5,
         3 s shortterm first reaches the ABSOLUTE target_i (latch) — with a
         strongly negative offset the latch never fires and the entire run
         is creep-shaped (verified: offset=-5 on an alternating signal).
-      * once latched, the env formula applies on EVERY frame — there is NO
-        below-measured_thresh hold (verified: thresh -20/-30/-40 produce
-        byte-identical dynamic output on a dipping signal).
-      * the env shortterm is floored at the input's RUNNING RELATIVE
-        THRESHOLD (ungated block mean - 10 LU): a deep quiet passage is
-        boosted as if it sat at that floor, making the boost peak
-        (target_i - (glob-10)) - lra/2 + offset, invariant to measured_i
-        and measured_thresh (verified by dip-depth and lra sweeps).
+      * there is NO below-MEASURED-thresh hold post-latch (verified:
+        thresh -20/-30/-40 produce byte-identical dynamic output on a
+        dipping signal) — but there IS a below-RUNNING-RELATIVE-threshold
+        hold: a frame with -70 < st < rel repeats the last written delta
+        (round 4: pinned per-frame against the real filter via exact
+        least-squares gain extraction on its 192 kHz output; round-3's
+        "floor the shortterm at rel" emulation was close — identical in
+        steady state — but measurably wrong in transitions). st <= -70
+        writes the bare-offset delta.
+      * the running gated integrated / relative threshold visible when
+        writing delta k include the gating block ending at frame k
+        itself (round 4: was k-1; the one-block skew cost up to 0.26 dB
+        in transitions).
       * the smoothing window trails by 2 frames: gain[f] reads
         deltas[f-2 .. f+18] (fit on transition timing, all signals).
-      * EOF flush freezes the ring: gains are constant from frame F-28 on
-        (the ramp/alt tails pin the freeze point).
+      * EOF flush: gains are frozen from frame F-29 on at the WINDOW
+        VALUE OF FRAME F-28 — the real filter computes its flush gain
+        one slot ahead of where it freezes (round 4: pinned by exact
+        gain extraction on alt; the frame before the freeze already
+        takes the frozen value as its g1).
+
+    Round-4 precision: with these rules this oracle matches the real
+    filter's per-frame gains within 0.03 dB on every probe family (alt
+    0.009, ramp 0.015, multi 0.029, dip 0.002, music-like 0.021, hot
+    0.0003 dB) on limiter-idle frames, measured in ffmpeg's own 192 kHz
+    processing domain.
     """
     L = int(round(0.100 * sample_rate))
     n = x.shape[0]
@@ -357,7 +371,7 @@ def loudnorm_dynamic_gains(x, sample_rate, target_i=-14.0, target_tp=-1.5,
     delta0 = 10.0 ** ((offset + env0) / 20.0)
     deltas = [delta0] * 30
     prev = delta0
-    for j in range(min(29, F)):
+    for j in range(min(30, F)):
         if blk[j] > -70.0:
             hist[int(np.clip((blk[j] + 70.0) / 0.1, 0, 749))] += 1
 
@@ -390,8 +404,8 @@ def loudnorm_dynamic_gains(x, sample_rate, target_i=-14.0, target_tp=-1.5,
         k = f + 30
         if k >= F:
             continue  # EOF flush: the delta ring is frozen
-        if blk[k - 1] > -70.0:
-            hist[int(np.clip((blk[k - 1] + 70.0) / 0.1, 0, 749))] += 1
+        if blk[k] > -70.0:
+            hist[int(np.clip((blk[k] + 70.0) / 0.1, 0, 749))] += 1
         stk = st[k]
         if not above:
             if stk > measured_thresh:
@@ -400,19 +414,32 @@ def loudnorm_dynamic_gains(x, sample_rate, target_i=-14.0, target_tp=-1.5,
             st_out = lufs(out_pow[lo:f + 1].sum() / ((f + 1 - lo) * L))
             if st_out >= target_i:
                 above = True
+        glob, rel = glob_rel_from_hist()
         if not above:
-            deltas.append(prev)
+            d = prev
         elif stk <= -70.0:
-            deltas.append(10.0 ** (offset / 20.0))
+            d = 10.0 ** (offset / 20.0)
+        elif stk < rel:
+            d = prev                      # below-relative-threshold hold
         else:
-            glob, rel = glob_rel_from_hist()
-            st_eff = max(stk, rel)
-            env_g = np.clip(st_eff - glob, -target_lra / 2, target_lra / 2)
-            deltas.append(10.0 ** ((offset + env_g + target_i - st_eff)
-                                   / 20.0))
+            env_g = np.clip(stk - glob, -target_lra / 2, target_lra / 2)
+            d = 10.0 ** ((offset + env_g + target_i - stk) / 20.0)
+        deltas.append(d)
+        prev = d
 
-    fz = max(F - 28, 0)
+    # EOF flush: frozen from F-29 at the window value of F-28 (per-frame
+    # true-peak caps still apply on the frozen gain)
+    fz = max(F - 29, 0)
     if fz < F:
-        g0_arr[fz:] = g0_arr[fz]
-        g1_arr[fz:] = g1_arr[fz]
+        frozen = window(fz + 1 - 2)
+        for f in range(fz, F):
+            cap = min(1.0, ceil_lin / max(peak[f] * frozen, 1e-9))
+            g0_arr[f] = frozen * cap
+            g1_arr[f] = frozen * cap
+        if fz >= 1:
+            g0u = window(fz - 1 - 2)      # uncapped g0 of the last
+            cap = min(1.0, ceil_lin / max(peak[fz - 1]   # unfrozen frame
+                                          * max(g0u, frozen), 1e-9))
+            g0_arr[fz - 1] = g0u * cap
+            g1_arr[fz - 1] = frozen * cap
     return g0_arr, g1_arr

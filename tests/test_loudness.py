@@ -193,9 +193,12 @@ def test_gates_wide_lra_trips_dynamic():
     assert info["input_lra"] > 11.0
     assert info["linear_mode"] == 0.0
     out = loudness.measure(jnp.asarray(y), SR)
-    # below-measured_thresh passages HOLD gain (not boosted), so the
-    # compression is bounded but must be clearly present
-    assert float(out["input_lra"]) < info["input_lra"] - 3.0
+    # below-relative-threshold passages HOLD gain (round-4 pinned real
+    # behavior), so the compression is bounded: the REAL filter takes this
+    # exact signal from 18.07 to 15.23 LU (measured live); ours lands
+    # within 0.1 LU of that
+    assert float(out["input_lra"]) < info["input_lra"] - 2.5
+    assert abs(float(out["input_lra"]) - 15.23) < 0.3
     assert abs(float(out["input_i"]) - (-14.0)) < 1.5
 
 

@@ -183,6 +183,74 @@ def k_weighting_sos(fs: float) -> np.ndarray:
     return np.concatenate([shelf, hp], axis=0)
 
 
+def _shelf_biquad(fs: float, f0: float, gain_db: float, q: float,
+                  vb_exp: float = 0.5) -> np.ndarray:
+    """Stage-1-style parametric high shelf as one [1, 6] SOS row."""
+    K = math.tan(math.pi * f0 / fs)
+    Vh = 10.0 ** (gain_db / 20.0)
+    Vb = Vh ** vb_exp
+    a0 = 1.0 + K / q + K * K
+    return np.array([[
+        (Vh + Vb * K / q + K * K) / a0,
+        2.0 * (K * K - Vh) / a0,
+        (Vh - Vb * K / q + K * K) / a0,
+        1.0,
+        2.0 * (K * K - 1.0) / a0,
+        (1.0 - K / q + K * K) / a0,
+    ]])
+
+
+_KW_DYNAMIC_CACHE: dict = {}
+
+
+def k_weighting_dynamic_sos(fs: float) -> np.ndarray:
+    """K-weighting as ffmpeg's DYNAMIC-mode loudnorm measures it.
+
+    loudnorm's dynamic path upsamples to 192 kHz and runs its ebur128
+    meter there (tests/test_golden_ffmpeg.py pins this), so the meter's
+    K-filter is the parametric design AT 192 kHz. The same design at a
+    native rate differs in-band by a gentle shelf (~-0.04 dB plateau at
+    44.1 kHz — the bilinear shelf overshoots its plateau slightly more
+    at lower rates), which shifts every short-term/gated measurement of
+    broadband content and with it the dynamic gain trajectory. This
+    returns the native-rate cascade plus one correction shelf fit so the
+    composite magnitude matches the 192 kHz design within ~0.005 dB up
+    to 0.49*fs. Used ONLY on ffmpeg-parity dynamic-measurement paths
+    (ops/loudnorm, parallel/sp_compat); linear-mode loudnorm measures at
+    the native rate with the plain cascade.
+    """
+    fs = float(fs)
+    cached = _KW_DYNAMIC_CACHE.get(fs)
+    if cached is not None:
+        return cached
+    base = k_weighting_sos(fs)
+    if fs >= 191999.0:
+        _KW_DYNAMIC_CACHE[fs] = base
+        return base
+    from scipy.signal import sosfreqz
+    from scipy.optimize import least_squares
+    f = np.linspace(20.0, 0.49 * fs, 1024)
+    _, h_n = sosfreqz(base, worN=f, fs=fs)
+    _, h_t = sosfreqz(k_weighting_sos(192000.0), worN=f, fs=192000.0)
+    t_db = 20.0 * np.log10(np.maximum(np.abs(h_t), 1e-12)
+                           / np.maximum(np.abs(h_n), 1e-12))
+
+    def resid(p):
+        g, lf0, lq = p
+        _, h_c = sosfreqz(_shelf_biquad(fs, math.exp(lf0), g,
+                                        math.exp(lq)), worN=f, fs=fs)
+        return 20.0 * np.log10(np.maximum(np.abs(h_c), 1e-12)) - t_db
+
+    sol = least_squares(resid, x0=[float(t_db[-1]),
+                                   math.log(_KW_SHELF_F0), math.log(0.7)],
+                        method="lm")
+    corr = _shelf_biquad(fs, math.exp(sol.x[1]), sol.x[0],
+                         math.exp(sol.x[2]))
+    out = np.concatenate([base, corr], axis=0)
+    _KW_DYNAMIC_CACHE[fs] = out
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Linkwitz-Riley crossover (quality-mode multiband; fixes quirk Q4)
 # ---------------------------------------------------------------------------

@@ -127,9 +127,15 @@ def _lra_gate(p_s, v_s, dtype):
     return jnp.where(n_g > 0, _pct(0.95) - _pct(0.10), 0.0)
 
 
-@partial(jax.jit, static_argnums=(1,))
-def _measure_jit(x, sample_rate, n_valid=None):
-    sos = design.k_weighting_sos(sample_rate)  # host numpy -> f64 pack path
+@partial(jax.jit, static_argnums=(1, 3))
+def _measure_jit(x, sample_rate, n_valid=None, dynamic_domain=False):
+    # dynamic_domain: measure as ffmpeg's DYNAMIC-mode loudnorm does (its
+    # meter runs on the 192 kHz upsampled stream; the corrected cascade
+    # matches that design's in-band magnitude at the native rate —
+    # dsp/design.k_weighting_dynamic_sos). Linear-mode semantics measure
+    # at the native rate with the plain cascade.
+    sos = (design.k_weighting_dynamic_sos(sample_rate) if dynamic_domain
+           else design.k_weighting_sos(sample_rate))  # host f64 pack path
     y, _ = sosfilt_scan(sos, x)
 
     # integrated: 400 ms / 100 ms hop
@@ -302,7 +308,8 @@ def integrated_lufs(x: jax.Array, sample_rate: float,
     return _measure_jit(x, float(sample_rate), n_valid)[0]
 
 
-def measure(x: jax.Array, sample_rate: float, n_valid=None) -> dict:
+def measure(x: jax.Array, sample_rate: float, n_valid=None,
+            dynamic_domain: bool = False) -> dict:
     """Input-side loudnorm measurement: integrated loudness, LRA, 4x true
     peak, and the integrated measurement's relative gating threshold
     (``input_thresh`` of the loudnorm JSON block, engine:229-237).
@@ -314,7 +321,7 @@ def measure(x: jax.Array, sample_rate: float, n_valid=None) -> dict:
     if x.ndim == 1:
         x = x[:, None]
     integrated, lra, rel_thresh = _measure_jit(x, float(sample_rate),
-                                               n_valid)
+                                               n_valid, dynamic_domain)
     tp = true_peak_db(x)
     return {"input_i": integrated, "input_lra": lra, "input_tp": tp,
             "input_thresh": rel_thresh}

@@ -10,8 +10,9 @@ and otherwise falls back to its frame-adaptive DYNAMIC mode.
 This module implements the af_loudnorm dynamic controller as pinned by
 BLACK-BOX PROBING of the real filter (driven in-process via io/avfilter.py;
 every rule was isolated with a targeted experiment and the result holds the
-gain-trajectory envelope within ~0.3 dB of ffmpeg on every probe signal —
-tests/test_golden_ffmpeg.py records the evidence), built TPU-first: all
+PER-FRAME gain trajectory within 0.1 dB of ffmpeg on every probe signal,
+incl. music-like program material — tests/test_golden_ffmpeg.py
+test_dynamic_exact_gain_parity records the evidence), built TPU-first: all
 measurement is parallel framed matmul/reduction work and the controller
 itself is parallel (see ``_dynamic_jit``):
 
@@ -316,7 +317,10 @@ def _dynamic_jit(x, sample_rate, target_i, target_tp, target_lra,
     F = -(-n // L)
     xp = jnp.pad(x, ((0, F * L - n), (0, 0)))
 
-    sos = design.k_weighting_sos(sample_rate)
+    # ffmpeg's dynamic meter runs at 192 kHz (the filter upsamples);
+    # the corrected cascade reproduces that design's in-band magnitude
+    # at the native rate (design.k_weighting_dynamic_sos)
+    sos = design.k_weighting_dynamic_sos(sample_rate)
     xk, _ = sosfilt_scan(sos, xp)
     M0, M1, M2, peak = _frame_moments(xp, xk, L)
     F_eff, blk_valid = _valid_frames(F, L, n_valid)
@@ -325,8 +329,10 @@ def _dynamic_jit(x, sample_rate, target_i, target_tp, target_lra,
                                measured_i, measured_thresh, offset)
     y = apply_frame_gains(xp, g0, g1, L)[:n]
 
-    # output-side stats, measured on the actual output (ffmpeg's r128_out)
-    output_i, _, output_thresh = _measure_jit(y, sample_rate, n_valid)
+    # output-side stats, measured on the actual output (ffmpeg's r128_out,
+    # also metering the 192 kHz stream)
+    output_i, _, output_thresh = _measure_jit(y, sample_rate, n_valid,
+                                              True)
     return y, output_i, output_thresh
 
 
@@ -400,14 +406,14 @@ def loudnorm_pass1(x: jax.Array, sample_rate: float,
     nd = min(int(round(2.9 * sample_rate)), x.shape[0])
     if n_valid is None:
         xdup = jnp.concatenate([x, x[x.shape[0] - nd:]])
-        stats = measure(xdup, sample_rate)
+        stats = measure(xdup, sample_rate, dynamic_domain=True)
     else:
         nv = jnp.asarray(n_valid, jnp.int32)
         start = jnp.maximum(nv - nd, 0)
         tail = lax.dynamic_slice_in_dim(x, start, nd, axis=0)
         buf = jnp.concatenate([x, jnp.zeros((nd, x.shape[1]), x.dtype)])
         xdup = lax.dynamic_update_slice(buf, tail, (nv, 0))
-        stats = measure(xdup, sample_rate, nv + nd)
+        stats = measure(xdup, sample_rate, nv + nd, dynamic_domain=True)
     # the concat seam is a waveform discontinuity the 4x interpolator
     # rings on; read the true peak off the original, seam-free signal
     stats["input_tp"] = true_peak_db(x)

@@ -331,7 +331,7 @@ def _loudnorm_measure(x, nv, *, sr, target_i, target_tp, target_lra,
     F = n // hop
     ndh = int(round(2.9 * sr)) // hop        # 29 hops: the flush re-measure
 
-    ksos = design.k_weighting_sos(sr)
+    ksos = design.k_weighting_dynamic_sos(sr)   # ffmpeg dynamic meter domain
     xk = sosfilt_sequence_parallel(ksos, x, mesh, axis)
     M0, M1, M2, peak = LN._frame_moments(x, xk, hop)   # replicated [F]
 
@@ -398,7 +398,7 @@ def _loudnorm_dynamic_apply(x, nv, meas, *, sr, target_i, target_tp,
         meas["target_offset"])
     y = jax.lax.with_sharding_constraint(
         LN.apply_frame_gains(x, g0d, g1d, hop), shd)
-    ksos = design.k_weighting_sos(sr)
+    ksos = design.k_weighting_dynamic_sos(sr)   # ffmpeg dynamic meter domain
     yko = sosfilt_sequence_parallel(ksos, y, mesh, axis)
     sq = jnp.sum(yko * yko, axis=1)
     hs = jnp.sum(sq.reshape(F, hop), axis=1)

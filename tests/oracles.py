@@ -204,6 +204,57 @@ def k_weighting_sos(fs):
     return np.array([np.concatenate([b1, a1]), np.concatenate([b2, a2])])
 
 
+_KW_DYN_CACHE = {}
+
+
+def k_weighting_dynamic_sos(fs):
+    """K-weighting in ffmpeg's DYNAMIC-mode meter domain, derived HERE
+    independently of ame_tpu: loudnorm's dynamic path upsamples to 192 kHz
+    and meters there (pinned by tests/test_golden_ffmpeg.py), so the
+    equivalent native-rate cascade is this oracle's own bilinear design
+    plus one RBJ high shelf least-squares-fit so the composite magnitude
+    matches the 192 kHz design in-band (same spec-level fact, different
+    derivation path from dsp/design.k_weighting_dynamic_sos)."""
+    fs = float(fs)
+    if fs in _KW_DYN_CACHE:
+        return _KW_DYN_CACHE[fs]
+    base = k_weighting_sos(fs)
+    if fs >= 191999.0:
+        _KW_DYN_CACHE[fs] = base
+        return base
+    from scipy.signal import sosfreqz
+    from scipy.optimize import least_squares
+
+    def shelf(p):
+        g, lf0, lq = p
+        K = np.tan(np.pi * np.exp(lf0) / fs)
+        vh = 10.0 ** (g / 20.0)
+        vb = np.sqrt(vh)
+        q = np.exp(lq)
+        a0 = 1.0 + K / q + K * K
+        return np.array([[(vh + vb * K / q + K * K) / a0,
+                          2.0 * (K * K - vh) / a0,
+                          (vh - vb * K / q + K * K) / a0,
+                          1.0, 2.0 * (K * K - 1.0) / a0,
+                          (1.0 - K / q + K * K) / a0]])
+
+    f = np.linspace(20.0, 0.49 * fs, 1024)
+    _, h_n = sosfreqz(base, worN=f, fs=fs)
+    _, h_t = sosfreqz(k_weighting_sos(192000.0), worN=f, fs=192000.0)
+    t_db = 20.0 * np.log10(np.maximum(np.abs(h_t), 1e-12)
+                           / np.maximum(np.abs(h_n), 1e-12))
+
+    def resid(p):
+        _, h_c = sosfreqz(shelf(p), worN=f, fs=fs)
+        return 20.0 * np.log10(np.maximum(np.abs(h_c), 1e-12)) - t_db
+
+    sol = least_squares(resid, x0=[float(t_db[-1]), np.log(1681.97),
+                                   np.log(0.7)], method="lm")
+    out = np.concatenate([base, shelf(sol.x)], axis=0)
+    _KW_DYN_CACHE[fs] = out
+    return out
+
+
 def integrated_lufs(x, sample_rate):
     """Gated integrated loudness, float64, independent of the device impl."""
     sos = k_weighting_sos(sample_rate)
@@ -335,7 +386,7 @@ def loudnorm_dynamic_gains(x, sample_rate, target_i=-14.0, target_tp=-1.5,
     n = x.shape[0]
     F = -(-n // L)
     xp = np.pad(np.asarray(x, np.float64), ((0, F * L - n), (0, 0)))
-    sos = k_weighting_sos(sample_rate)
+    sos = k_weighting_dynamic_sos(sample_rate)   # ffmpeg meters at 192 kHz
     yk = sosfilt(sos, xp, axis=0)
     M0 = np.sum((yk * yk).reshape(F, -1), axis=1)
     peak = np.max(np.abs(xp).reshape(F, -1), axis=1)

@@ -497,7 +497,10 @@ def _our_gains(x, p1, i=-14.0, tp=-1.5, lra=7.0):
     L = int(round(LN.FRAME_S * SR))
     Fr = x.shape[0] // L
     xp = jnp.asarray(x[:Fr * L])
-    xk, _ = sosfilt_scan(design.k_weighting_sos(SR), xp)
+    # measure in ffmpeg's dynamic-meter domain (its ebur128 meter runs on
+    # the 192 kHz upsampled stream; design.k_weighting_dynamic_sos matches
+    # that design's in-band magnitude at the native rate)
+    xk, _ = sosfilt_scan(design.k_weighting_dynamic_sos(SR), xp)
     M0, M1, M2, peak = LN._frame_moments(xp, xk, L)
     F_eff, blk_valid = LN._valid_frames(Fr, L, None)
     g0, g1 = LN._controller_gains(
@@ -511,13 +514,13 @@ def _our_gains(x, p1, i=-14.0, tp=-1.5, lra=7.0):
 @needs_ffmpeg
 @pytest.mark.parametrize("kind", ("alt", "ramp", "multi", "dip", "music"))
 def test_dynamic_exact_gain_parity(kind):
-    """Per-frame gain trajectory within 0.15 dB of the REAL filter on
-    every probe family incl. the music-like fixture (VERDICT r3 item 2).
-    Measured: alt 0.113 / ramp 0.084 / multi 0.112 / dip 0.108 /
-    music 0.061 dB. The controller itself matches to <=0.03 dB when both
-    engines measure in the same domain — the residual above that is the
-    44.1 kHz native-rate measurement vs ffmpeg's 192 kHz upsampled
-    measurement (K-filter warp near Nyquist on broadband content)."""
+    """Per-frame gain trajectory within 0.1 dB of the REAL filter on
+    every probe family incl. the music-like fixture (VERDICT r3 item 2,
+    <0.1 dB north star). Measured with the dynamic-domain K-cascade:
+    alt 0.082 / ramp 0.042 / multi 0.073 / dip 0.071 / music 0.061 dB
+    (plain native-rate cascade left alt/multi/dip at ~0.11 — the K-filter
+    design warp between 44.1 kHz and ffmpeg's 192 kHz meter domain, now
+    corrected by design.k_weighting_dynamic_sos's fitted shelf)."""
     x = make_signal(kind)
     p1 = F.loudnorm_pass1(x, SR)
     gf0, _, res = _extract_ff_gains(x, p1)
@@ -530,7 +533,7 @@ def test_dynamic_exact_gain_parity(kind):
     assert idle.mean() > 0.85, "limiter active on most frames?"
     db = lambda a: 20 * np.log10(np.maximum(a, 1e-9))  # noqa: E731
     err = np.abs(db(og0[:nb]) - db(gf0[:nb]))[idle]
-    assert err.max() < 0.15, (kind, err.max())
+    assert err.max() < 0.1, (kind, err.max())
 
 
 @needs_ffmpeg

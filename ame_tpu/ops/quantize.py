@@ -17,9 +17,27 @@ import jax
 import jax.numpy as jnp
 
 
+def _flatwise(f, *arrays):
+    """Apply an elementwise fn in [., 128] layout.
+
+    Audio rides as [N, 2]; TPU tiles the last dim onto 128 vector lanes,
+    so [N, 2] elementwise work runs at 2/128 lane occupancy (measured
+    ~12x slower than flat at 2^23 samples). The row-major reshape to
+    [N*2/128, 128] is a free bitcast (same bytes, same order), so pure
+    elementwise stages compute at full lane width and reshape back.
+    Only safe for PURE elementwise fns (no axis semantics)."""
+    n = arrays[0].size
+    if n % 128 != 0 or any(a.shape != arrays[0].shape for a in arrays):
+        return f(*arrays)
+    shape = arrays[0].shape
+    flat = [a.reshape(-1, 128) for a in arrays]
+    return f(*flat).reshape(shape)
+
+
 def float_to_int16(x: jax.Array) -> jax.Array:
     """trunc(clip(x)*32767) as float32-held integer values."""
-    return jnp.trunc(jnp.clip(x, -1.0, 1.0) * 32767.0)
+    return _flatwise(
+        lambda v: jnp.trunc(jnp.clip(v, -1.0, 1.0) * 32767.0), x)
 
 
 def int16_to_float(i: jax.Array) -> jax.Array:
@@ -28,10 +46,13 @@ def int16_to_float(i: jax.Array) -> jax.Array:
 
 def int16_roundtrip(x: jax.Array) -> jax.Array:
     """The exact quantization the reference injects between stages."""
-    return float_to_int16(x) * (1.0 / 32768.0)
+    return _flatwise(
+        lambda v: jnp.trunc(jnp.clip(v, -1.0, 1.0) * 32767.0)
+        * (1.0 / 32768.0), x)
 
 
 def saturating_add_int16(a: jax.Array, b: jax.Array) -> jax.Array:
     """audioop.add semantics on int16-valued floats: sum clamped to
     [-32768, 32767]."""
-    return jnp.clip(a + b, -32768.0, 32767.0)
+    return _flatwise(
+        lambda u, v: jnp.clip(u + v, -32768.0, 32767.0), a, b)

@@ -390,6 +390,54 @@ def dynamic_loudnorm(x: jax.Array, sample_rate: float,
 # Pass 1: the JSON stats block
 # ---------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnums=(1,))
+def _pass1_fused_jit(x, sample_rate, target_i, target_tp, target_lra,
+                     n_valid=None):
+    """Input-side stats + the offset-producing dynamic run off ONE
+    K-filter pass (round 4). The separate ``measure(xdup)`` ran a second
+    full sosfilt_scan over a concat-duplicated waveform; here the flush
+    double-count (the final ~2.9 s re-fed through the measurement state)
+    is emulated on the 100 ms hop grid by re-appending the last 29 hop
+    energies — exact for hop-aligned lengths, <0.05 LU otherwise, the
+    same documented emulation the sequence-parallel path uses
+    (parallel/sp_compat.py). Returns (input_i, input_lra, input_thresh,
+    output_i, output_thresh)."""
+    n, c = x.shape
+    L = int(round(FRAME_S * sample_rate))
+    F = -(-n // L)
+    xp = jnp.pad(x, ((0, F * L - n), (0, 0)))
+    sos = design.k_weighting_dynamic_sos(sample_rate)
+    xk, _ = sosfilt_scan(sos, xp)
+    M0, M1, M2, peak = _frame_moments(xp, xk, L)
+    F_eff, blk_valid = _valid_frames(F, L, n_valid)
+
+    # tail-duplicated hop energies for the input-side stats
+    ND = 29
+    if n_valid is None:
+        hops_dup = jnp.concatenate([M0, M0[F - ND:]])
+        nv_dup = None
+    else:
+        start = jnp.maximum(F_eff - ND, 0)
+        tail = lax.dynamic_slice_in_dim(
+            jnp.concatenate([M0, jnp.zeros((ND,), M0.dtype)]), start, ND)
+        buf = jnp.concatenate([M0, jnp.zeros((ND,), M0.dtype)])
+        hops_dup = lax.dynamic_update_slice(buf, tail, (F_eff,))
+        nv_dup = (F_eff + ND) * L
+    input_i, input_lra, input_thresh = gated_stats_from_hops(
+        hops_dup, L, nv_dup, dtype=x.dtype)
+
+    g0, g1 = _controller_gains(M0, M1, M2, peak, L, F_eff, blk_valid,
+                               target_i, target_tp, target_lra,
+                               jnp.asarray(0.0, x.dtype),
+                               jnp.asarray(-70.0, x.dtype),
+                               jnp.asarray(0.0, x.dtype))
+    dg = g1 - g0
+    out_pow = g0 * g0 * M0 + 2.0 * g0 * dg * M1 + dg * dg * M2
+    output_i, _, output_thresh = gated_stats_from_hops(
+        out_pow, L, None if n_valid is None else F_eff * L, dtype=x.dtype)
+    return input_i, input_lra, input_thresh, output_i, output_thresh
+
+
 def loudnorm_pass1(x: jax.Array, sample_rate: float,
                    target_i: float = -14.0, target_tp: float = -1.5,
                    target_lra: float = 11.0, n_valid=None,
@@ -414,6 +462,27 @@ def loudnorm_pass1(x: jax.Array, sample_rate: float,
     """
     if x.ndim == 1:
         x = x[:, None]
+    L = int(round(FRAME_S * sample_rate))
+    if x.shape[0] >= (RING + 1) * L:
+        # fused path: input stats + the offset-producing dynamic run off
+        # ONE K-filter pass (_pass1_fused_jit)
+        ii, lra, th, oi, oth = _pass1_fused_jit(
+            x, float(sample_rate), jnp.asarray(target_i, x.dtype),
+            jnp.asarray(target_tp, x.dtype),
+            jnp.asarray(target_lra, x.dtype), n_valid)
+        stats = {"input_i": ii, "input_lra": lra, "input_thresh": th,
+                 "input_tp": true_peak_db(x),
+                 "output_i": oi, "output_thresh": oth}
+        stats["target_offset"] = jnp.asarray(target_i, x.dtype) - oi
+        if full:
+            y, _ = dynamic_loudnorm(x, sample_rate, target_i, target_tp,
+                                    target_lra, n_valid=n_valid)
+            out_stats = measure(y, sample_rate, n_valid)
+            stats["output_tp"] = out_stats["input_tp"]
+            stats["output_lra"] = out_stats["input_lra"]
+        return stats
+
+    # short input: the sample-grid duplication + short-path dynamic run
     nd = min(int(round(2.9 * sample_rate)), x.shape[0])
     if n_valid is None:
         xdup = jnp.concatenate([x, x[x.shape[0] - nd:]])
@@ -428,8 +497,6 @@ def loudnorm_pass1(x: jax.Array, sample_rate: float,
     # the concat seam is a waveform discontinuity the 4x interpolator
     # rings on; read the true peak off the original, seam-free signal
     stats["input_tp"] = true_peak_db(x)
-    # the dynamic run here exists to produce target_offset; its output
-    # waveform is only needed for the full JSON block's output_tp/lra
     y, out = dynamic_loudnorm(x, sample_rate, target_i, target_tp,
                               target_lra, n_valid=n_valid,
                               materialize=bool(full))

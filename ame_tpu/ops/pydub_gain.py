@@ -315,51 +315,67 @@ def _jac_kernel(*refs, G, TT, K, S, full):
     def _():
         att_ref[:] = c_ref[:]
 
-    eye = _eye(S)
-    mTs = [_t_in(m_refs[g][:], eye) for g in range(G)]   # [TT, S] each
-    rT = _t_in(r_ref[:], eye)        # [TT, S]; nonzero only at chunk starts
+    # LANE-PACK the G chains (round 4): one [1, G·S] state vector stepped
+    # by ONE update chain per sample. The previous per-g [1, S] chains
+    # did not pipeline in practice — G=3 measured 3.2x the G=1 sweep.
+    # Chain g occupies lanes [g·S, (g+1)·S), matching c/co's [1, G·S]
+    # row-major reshape of [G, S]. m/r tiles arrive TIME-MAJOR ([TT, S]):
+    # the old segment-major tiles needed a per-tile MXU identity
+    # transpose, and with 3 sweeps x G bands those transposes — not the
+    # update chains — were the sweep cost; XLA pre-transposes m ONCE and
+    # every sweep reuses it.
+    mcat = jnp.concatenate([m_refs[g][:] for g in range(G)],
+                           axis=1)                       # [TT, G·S]
+    rT = r_ref[:]                    # [TT, S]; nonzero only at chunk starts
+    rcat = jnp.concatenate([rT] * G, axis=1) if G > 1 else rT
     inv_a = s_ref[0, 0]
     inv_r = s_ref[0, 1]
-    atts = [att_ref[g:g + 1, :] for g in range(G)]
-    rows = [[] for _ in range(G)]
+    att = att_ref[0:1, :]                                # [1, G·S]
+    rows = []
     for j in range(TT):              # static unroll — no dynamic indexing
         if j % K == 0:               # chunk resets land on K-group starts
-            keep = 1.0 - rT[j:j + 1, :]
-            atts = [a * keep for a in atts]
-        # the G chains are independent: their dependent-op chains
-        # pipeline in the VPU, so G bands cost ~1 band's latency
-        atts = [_update(atts[g], mTs[g][j:j + 1, :], inv_a, inv_r)
-                for g in range(G)]
+            att = att * (1.0 - rcat[j:j + 1, :])
+        att = _update(att, mcat[j:j + 1, :], inv_a, inv_r)
         if full:
-            for g in range(G):
-                rows[g].append(atts[g])
+            rows.append(att)
     if full:
+        # outputs stay TIME-MAJOR ([TT, S] blocks of a [seg_len, S]
+        # array) — no in-kernel MXU transpose; the caller's reshape to
+        # flat order goes through one XLA transpose, cheaper than G
+        # identity matmuls per tile per sweep
+        ycat = jnp.concatenate(rows, axis=0)             # [TT, G·S]
         for g in range(G):
-            o_refs[g][:] = _t_out(jnp.concatenate(rows[g], axis=0), eye)
-    for g in range(G):
-        att_ref[g:g + 1, :] = atts[g]
-        co_ref[g:g + 1, :] = atts[g]
+            o_refs[g][:] = ycat[:, g * S:(g + 1) * S]
+    att_ref[0:1, :] = att
+    co_ref[0:1, :] = att
 
 
-def _jac_call(m3, r2, c, scal, full, interpret, S, seg_len, TT):
-    G = m3.shape[0]
+def _jac_call(m3t, r2t, c, scal, full, interpret, S, seg_len, TT):
+    """m3t: [G, seg_len, S] TIME-MAJOR max-attenuations; r2t: [seg_len, S];
+    c: [G, S] carry-ins. Returns [co [G, S]] (+ G full [S, seg_len]
+    outputs). The kernel's state rides a single [1, G·S] lane-packed
+    vector; the [G, S] <-> [1, G·S] reshapes here are row-major bitcasts
+    of a tiny array."""
+    G = m3t.shape[0]
     n_tiles = seg_len // TT
     kern = functools.partial(_jac_kernel, G=G, TT=TT, K=_K, S=S, full=full)
-    tile = lambda: pl.BlockSpec((S, TT), lambda i: (0, i),
+    tin = lambda: pl.BlockSpec((TT, S), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+    tout = lambda: pl.BlockSpec((S, TT), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)
-    out_shapes = [jax.ShapeDtypeStruct((G, S), jnp.float32)]
-    out_specs = [pl.BlockSpec((G, S), lambda i: (0, 0),
+    out_shapes = [jax.ShapeDtypeStruct((1, G * S), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, G * S), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)]
     if full:
-        out_shapes += [jax.ShapeDtypeStruct((S, seg_len), jnp.float32)] * G
-        out_specs += [tile() for _ in range(G)]
-    scratch = [pltpu.VMEM((G, S), jnp.float32)]
-    return pl.pallas_call(
+        out_shapes += [jax.ShapeDtypeStruct((seg_len, S), jnp.float32)] * G
+        out_specs += [tin() for _ in range(G)]
+    scratch = [pltpu.VMEM((1, G * S), jnp.float32)]
+    res = pl.pallas_call(
         kern,
         grid=(n_tiles,),
-        in_specs=[tile() for _ in range(G)] + [
-            tile(),
-            pl.BlockSpec((G, S), lambda i: (0, 0),
+        in_specs=[tin() for _ in range(G)] + [
+            tin(),
+            pl.BlockSpec((1, G * S), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
@@ -367,17 +383,19 @@ def _jac_call(m3, r2, c, scal, full, interpret, S, seg_len, TT):
         out_shape=out_shapes,
         scratch_shapes=scratch,
         interpret=bool(interpret),
-    )(*[m3[g] for g in range(G)], r2, c, scal)
+    )(*[m3t[g] for g in range(G)], r2t, c.reshape(1, G * S), scal)
+    return (res[0].reshape(G, S),) + tuple(res[1:])
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
-def _jacobi_carries(m3, r2, scal, init, S, seg_len, TT, interpret):
-    """m3: [G, S, seg_len]; r2: [S, seg_len] per-sample reset flags
-    (nonzero only on K-group-start samples; shared by all G chains);
-    init: [G] attenuation state entering segment 0 (zeros = track start).
-    Returns (carries [G, S], converged [G]) — the full-output sweep runs
-    separately (and only when something converged)."""
-    G = m3.shape[0]
+def _jacobi_carries(m3t, r2t, scal, init, S, seg_len, TT, interpret):
+    """m3t: [G, seg_len, S] time-major max-attenuations; r2t:
+    [seg_len, S] per-sample reset flags (nonzero only on K-group-start
+    samples; shared by all G chains); init: [G] attenuation state
+    entering segment 0 (zeros = track start). Returns (carries [G, S],
+    converged [G]) — the full-output sweep runs separately (and only
+    when something converged)."""
+    G = m3t.shape[0]
     # Identity segments (all-zero m, reset-free: every step is att -> att
     # EXACTLY, so skipping them reassociates nothing) are bridged by
     # indexing the last non-identity segment at or before each position —
@@ -385,8 +403,8 @@ def _jacobi_carries(m3, r2, scal, init, S, seg_len, TT, interpret):
     # per segment. Clamped segments need no special handling: their
     # carry-out is carry-in-independent, so plain Jacobi already jumps
     # past them after the first sweep.
-    seg_id = (jnp.max(m3, axis=2) == 0.0) & \
-        (jnp.max(r2, axis=1) == 0.0)[None]                  # [G, S]
+    seg_id = (jnp.max(m3t, axis=1) == 0.0) & \
+        (jnp.max(r2t, axis=0) == 0.0)[None]                 # [G, S]
     lasti = jax.lax.associative_scan(
         jnp.maximum, jnp.where(seg_id, -1, jnp.arange(S)[None]), axis=1)
 
@@ -397,6 +415,9 @@ def _jacobi_carries(m3, r2, scal, init, S, seg_len, TT, interpret):
         return jnp.concatenate([init[:, None].astype(jnp.float32),
                                 bridged[:, :-1]], axis=1)
 
+    c0 = jnp.concatenate([init[:, None].astype(jnp.float32),
+                          jnp.zeros((G, S - 1), jnp.float32)], axis=1)
+
     def cond(st):
         c_cur, done, j = st
         return (j < _RMAX) & ~jnp.all(done)
@@ -406,7 +427,7 @@ def _jacobi_carries(m3, r2, scal, init, S, seg_len, TT, interpret):
         # carry sweeps reuse the full pass's tile size (larger carry
         # tiles measured ~13% slower end to end: the extra DMA per grid
         # step did not pay for the fewer steps)
-        (co,) = _jac_call(m3, r2, c_cur, scal, False, interpret,
+        (co,) = _jac_call(m3t, r2t, c_cur, scal, False, interpret,
                           S, seg_len, TT)
         # ACCEPTANCE (per band): the refreshed carries must reproduce the
         # carries just used, i.e. c[s+1] == f_s(c[s]) bit-for-bit (with
@@ -416,8 +437,6 @@ def _jacobi_carries(m3, r2, scal, init, S, seg_len, TT, interpret):
         done = jnp.all(nxt == c_cur, axis=1)                # [G]
         return (nxt, done, j + 1)
 
-    c0 = jnp.concatenate([init[:, None].astype(jnp.float32),
-                          jnp.zeros((G, S - 1), jnp.float32)], axis=1)
     c_cur, converged, _ = jax.lax.while_loop(
         cond, body, (c0, jnp.zeros((G,), jnp.bool_),
                      jnp.zeros((), jnp.int32)))
@@ -425,8 +444,9 @@ def _jacobi_carries(m3, r2, scal, init, S, seg_len, TT, interpret):
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
-def _jacobi_full(m3, r2, c, scal, S, seg_len, TT, interpret):
-    res = _jac_call(m3, r2, c, scal, True, bool(interpret), S, seg_len, TT)
+def _jacobi_full(m3t, r2t, c, scal, S, seg_len, TT, interpret):
+    res = _jac_call(m3t, r2t, c, scal, True, bool(interpret), S, seg_len,
+                    TT)
     return jnp.stack(res[1:])
 
 
@@ -460,27 +480,33 @@ def _gain_engine(G, m1, resets, scal, interpret, init=None):
     npad = m1[0].shape[1]
     S = _select_S(npad)
     # time tile shrinks with G to keep the full-output kernel (G m-tiles +
-    # G transposed copies + G row buffers + G out tiles) inside VMEM;
-    # 128 is the Mosaic minimum lane-dim block. Interpret mode has no
-    # such floor and pays compile time per unrolled step, so tile small.
+    # the packed row buffer + G out tiles) inside VMEM; 128 is the Mosaic
+    # minimum lane-dim block. The carry sweeps carry no output buffers,
+    # so they run at double the tile (fewer grid steps — measured faster
+    # post-lane-packing). Interpret mode has no lane floor and pays
+    # compile time per unrolled step, so tile small.
     TT = _K if interpret else max(128, (_TT // G) // _K * _K)
-    seg_len = -(-npad // (S * TT)) * TT
+    TT_C = TT if interpret else 2 * TT
+    seg_len = -(-npad // (S * TT_C)) * TT_C
     npad2 = S * seg_len
     # expand group-start flags to per-sample positions (Mosaic needs the
     # reset operand tiled like m; only rows j % K == 0 are ever read)
     rg = jnp.pad(resets[0], (0, npad2 // _K - resets.shape[1]))
-    r2 = jnp.zeros((npad2 // _K, _K), jnp.float32).at[:, 0].set(rg) \
-        .reshape(S, seg_len)
-    m3 = jnp.stack([jnp.pad(m1[g][0], (0, npad2 - npad)).reshape(
-        S, seg_len) for g in range(G)])
-    c_fix, ok = _jacobi_carries(m3, r2, scal, init, S, seg_len, TT,
+    # time-major operands: one XLA transpose here, reused by EVERY sweep
+    # (the old segment-major tiles paid an MXU transpose per tile per
+    # sweep — the dominant sweep cost at G=3)
+    r2t = jnp.zeros((npad2 // _K, _K), jnp.float32).at[:, 0].set(rg) \
+        .reshape(S, seg_len).T
+    m3t = jnp.stack([jnp.pad(m1[g][0], (0, npad2 - npad)).reshape(
+        S, seg_len).T for g in range(G)])
+    c_fix, ok = _jacobi_carries(m3t, r2t, scal, init, S, seg_len, TT_C,
                                 bool(interpret))
 
     att_jac = jax.lax.cond(
         jnp.any(ok),
-        lambda: _jacobi_full(m3, r2, c_fix, scal, S, seg_len, TT,
+        lambda: _jacobi_full(m3t, r2t, c_fix, scal, S, seg_len, TT,
                              bool(interpret)),
-        lambda: jnp.zeros((G, S, seg_len), jnp.float32))
+        lambda: jnp.zeros((G, seg_len, S), jnp.float32))
 
     tp = jax.lax.cond(
         jnp.all(ok),
@@ -489,7 +515,9 @@ def _gain_engine(G, m1, resets, scal, interpret, init=None):
                            _two_pass(G, m1, resets, scal, interpret,
                                      init)]))
 
-    return [jnp.where(ok[g], att_jac[g].reshape(npad2)[:npad], tp[g])
+    # full-sweep outputs are time-major; one XLA transpose back to the
+    # flat segment-major order (see _jac_kernel)
+    return [jnp.where(ok[g], att_jac[g].T.reshape(npad2)[:npad], tp[g])
             for g in range(G)]
 
 

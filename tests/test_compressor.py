@@ -213,11 +213,14 @@ def test_jacobi_convergence_flag_and_fallback():
         seg_len = -(-npad // (S * TT)) * TT
         npad2 = S * seg_len
         rg = jnp.pad(resets[0], (0, npad2 // pg._K - resets.shape[1]))
-        r2 = jnp.zeros((npad2 // pg._K, pg._K), jnp.float32) \
-            .at[:, 0].set(rg).reshape(S, seg_len)
-        m3 = jnp.stack([jnp.pad(m1[g][0], (0, npad2 - npad)).reshape(
-            S, seg_len) for g in range(len(m1))])
-        return pg._jacobi_carries(m3, r2, scal, jnp.zeros((m3.shape[0],)), S, seg_len, TT, True)
+        # time-major operands (round 4 — see _gain_engine)
+        r2t = jnp.zeros((npad2 // pg._K, pg._K), jnp.float32) \
+            .at[:, 0].set(rg).reshape(S, seg_len).T
+        m3t = jnp.stack([jnp.pad(m1[g][0], (0, npad2 - npad)).reshape(
+            S, seg_len).T for g in range(len(m1))])
+        return pg._jacobi_carries(m3t, r2t, scal,
+                                  jnp.zeros((m3t.shape[0],)), S, seg_len,
+                                  TT, True)
 
     rng = np.random.default_rng(3)
     n = 9 * 16384

@@ -67,20 +67,37 @@ def apply_shelf_compat(x: jax.Array, sample_rate: float, cutoff_hz: float,
     LP/HP core + compat blend. The normalized cutoff is clamped below
     Nyquist (the reference would crash in scipy at sample rates where a
     shelf frequency reaches Nyquist; the fixed-graph design must stay
-    constructible even when that band's gain is 0)."""
+    constructible even when that band's gain is 0).
+
+    gain_db == 0 is an exact no-op in the reference (engine:284 returns
+    the input before filtering), and the blend here reproduces that — so
+    the whole filter runs under an on-device lax.cond and zero-gain
+    stages cost one predicate instead of a biquad pass over the track.
+    One compiled graph still serves every gain (under vmap the cond
+    lowers to a select and both branches run, exactly as before)."""
     cutoff_norm = min(cutoff_hz / (0.5 * sample_rate), 0.999999)
     b, a = design.butter_ba(2, cutoff_norm, filter_type)
     sos = design.ba_to_sos_biquad(b, a)
-    return shelf_blend_compat(x, _run_sos(sos, x, chunk_len), gain_db)
+
+    def run(x):
+        return shelf_blend_compat(x, _run_sos(sos, x, chunk_len), gain_db)
+
+    return jax.lax.cond(jnp.asarray(gain_db) == 0.0, lambda v: v, run, x)
 
 
 def apply_peak_compat(x: jax.Array, sample_rate: float, center_hz: float,
                       gain_db: jax.Array, q: float = 1.41,
                       chunk_len: int | None = None) -> jax.Array:
     """Reference apply_peak_filter (engine:290-298): order-4 bandpass core
-    (edge clamps Q14) + additive blend."""
+    (edge clamps Q14) + additive blend. gain_db == 0 skips the bandpass
+    at runtime (engine:291 no-op quirk — the blend is exact identity
+    there), same lax.cond scheme as apply_shelf_compat."""
     sos = design.reference_peak_band_sos(sample_rate, center_hz, q)
-    return peak_blend_compat(x, _run_sos(sos, x, chunk_len), gain_db)
+
+    def run(x):
+        return peak_blend_compat(x, _run_sos(sos, x, chunk_len), gain_db)
+
+    return jax.lax.cond(jnp.asarray(gain_db) == 0.0, lambda v: v, run, x)
 
 
 def apply_eq_compat(x: jax.Array, sample_rate: float, bass_db, mid_cut_db,

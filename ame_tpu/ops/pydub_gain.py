@@ -79,7 +79,8 @@ _BR = int(os.environ.get("AME_TPU_GAIN_BR", 512))    # pass-2 groups/block
 
 # Jacobi carry-relaxation engine (the fast default; see _jacobi_try)
 _TT = int(os.environ.get("AME_TPU_GAIN_TT", 256))    # time tile per grid step
-_RMAX = int(os.environ.get("AME_TPU_GAIN_RMAX", 8))   # max Jacobi sweeps
+_RMAX = int(os.environ.get("AME_TPU_GAIN_RMAX", 16))  # max Jacobi sweeps
+_SMAX_LOG = int(os.environ.get("AME_TPU_GAIN_SMAX_LOG", 11))  # S cap = 2^11
 _JACOBI = os.environ.get("AME_TPU_GAIN_JACOBI", "1") != "0"
 
 # TPU lax.scan costs ~2.5 us/step (measured) and crashed the worker
@@ -303,99 +304,146 @@ def _p2(m_groups, starts, scal, interpret):
 # seg_len] attenuation in natural layout, replacing pass 2 as well.
 
 
-def _jac_kernel(*refs, G, TT, K, S, full):
+def _jac_kernel(*refs, G, TT, K, S8, P, full, has_resets):
     m_refs = refs[:G]
-    r_ref, c_ref, s_ref = refs[G], refs[G + 1], refs[G + 2]
-    co_ref = refs[G + 3]
+    nr = 1 if has_resets else 0
+    r_ref = refs[G] if has_resets else None
+    c_ref, s_ref = refs[G + nr], refs[G + nr + 1]
+    co_ref = refs[G + nr + 2]
     if full:
-        o_refs = refs[G + 4:G + 4 + G]
+        o_refs = refs[G + nr + 3:G + nr + 3 + G]
     att_ref = refs[-1]
 
     @pl.when(pl.program_id(0) == 0)
     def _():
         att_ref[:] = c_ref[:]
 
-    # LANE-PACK the G chains (round 4): one [1, G·S] state vector stepped
-    # by ONE update chain per sample. The previous per-g [1, S] chains
-    # did not pipeline in practice — G=3 measured 3.2x the G=1 sweep.
-    # Chain g occupies lanes [g·S, (g+1)·S), matching c/co's [1, G·S]
-    # row-major reshape of [G, S]. m/r tiles arrive TIME-MAJOR ([TT, S]):
-    # the old segment-major tiles needed a per-tile MXU identity
-    # transpose, and with 3 sweeps x G bands those transposes — not the
-    # update chains — were the sweep cost; XLA pre-transposes m ONCE and
-    # every sweep reuses it.
+    # LANE-PACK the G chains (round 4) and SUBLANE-PACK the segments
+    # (round 5): the state is one [P, G·S8] vector (segment s of chain g
+    # lives at sublane s // S8, lane g·S8 + s % S8) stepped by ONE update
+    # chain per sample. The round-4 [1, G·S] layout left 7/8 sublanes
+    # empty, so every vector op burned ceil(G·S/128) vregs at 1/8
+    # utilization — at G=3, S=512 the sweep paid 12 vreg-ops per update
+    # op for 1536 values that fit in 2 packed vregs. m/r tiles arrive
+    # TIME-MAJOR and pre-packed ([TT, P, S8]): XLA lays them out ONCE
+    # (same transpose it already paid for the round-4 layout) and every
+    # sweep reuses them; the static j index below is a free tile-row
+    # select, never a relayout.
     mcat = jnp.concatenate([m_refs[g][:] for g in range(G)],
-                           axis=1)                       # [TT, G·S]
-    rT = r_ref[:]                    # [TT, S]; nonzero only at chunk starts
-    rcat = jnp.concatenate([rT] * G, axis=1) if G > 1 else rT
+                           axis=2)                       # [TT, P, G·S8]
+    if has_resets:
+        rT = r_ref[:]          # [TT, P, S8]; nonzero only at chunk starts
+        rcat = jnp.concatenate([rT] * G, axis=2) if G > 1 else rT
     inv_a = s_ref[0, 0]
     inv_r = s_ref[0, 1]
-    att = att_ref[0:1, :]                                # [1, G·S]
+    att = att_ref[:]                                     # [P, G·S8]
     rows = []
     for j in range(TT):              # static unroll — no dynamic indexing
-        if j % K == 0:               # chunk resets land on K-group starts
-            att = att * (1.0 - rcat[j:j + 1, :])
-        att = _update(att, mcat[j:j + 1, :], inv_a, inv_r)
+        if has_resets and j % K == 0:   # resets land on K-group starts
+            att = att * (1.0 - rcat[j])
+        att = _update(att, mcat[j], inv_a, inv_r)
         if full:
             rows.append(att)
     if full:
-        # outputs stay TIME-MAJOR ([TT, S] blocks of a [seg_len, S]
-        # array) — no in-kernel MXU transpose; the caller's reshape to
-        # flat order goes through one XLA transpose, cheaper than G
-        # identity matmuls per tile per sweep
-        ycat = jnp.concatenate(rows, axis=0)             # [TT, G·S]
+        # outputs stay TIME-MAJOR ([TT, P, S8] blocks of a
+        # [seg_len, P, S8] array) — no in-kernel MXU transpose; the
+        # caller's reshape to flat order goes through one XLA transpose,
+        # cheaper than G identity matmuls per tile per sweep
+        ycat = jnp.stack(rows, axis=0)                   # [TT, P, G·S8]
         for g in range(G):
-            o_refs[g][:] = ycat[:, g * S:(g + 1) * S]
-    att_ref[0:1, :] = att
-    co_ref[0:1, :] = att
+            o_refs[g][:] = ycat[:, :, g * S8:(g + 1) * S8]
+    att_ref[:] = att
+    co_ref[:] = att
 
 
-def _jac_call(m3t, r2t, c, scal, full, interpret, S, seg_len, TT):
-    """m3t: [G, seg_len, S] TIME-MAJOR max-attenuations; r2t: [seg_len, S];
-    c: [G, S] carry-ins. Returns [co [G, S]] (+ G full [S, seg_len]
-    outputs). The kernel's state rides a single [1, G·S] lane-packed
-    vector; the [G, S] <-> [1, G·S] reshapes here are row-major bitcasts
+def _jac_call(m3p, r2p, c, scal, full, interpret, S, seg_len, TT, P):
+    """m3p: [G, seg_len, P, S//P] TIME-MAJOR sublane-packed
+    max-attenuations (see _pack_operands); r2p: [seg_len, P, S//P];
+    c: [G, S] carry-ins. Returns [co [G, S]] (+ G full [seg_len, P, S//P]
+    outputs). The kernel's state rides a single [P, G·S8] packed vector;
+    the [G, S] <-> [P, G·S8] reshapes here are row-major rearrangements
     of a tiny array."""
-    G = m3t.shape[0]
+    G = m3p.shape[0]
+    S8 = S // P
     n_tiles = seg_len // TT
-    kern = functools.partial(_jac_kernel, G=G, TT=TT, K=_K, S=S, full=full)
-    tin = lambda: pl.BlockSpec((TT, S), lambda i: (i, 0),
+    has_resets = r2p is not None
+    kern = functools.partial(_jac_kernel, G=G, TT=TT, K=_K, S8=S8, P=P,
+                             full=full, has_resets=has_resets)
+    tin = lambda: pl.BlockSpec((TT, P, S8), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)
-    tout = lambda: pl.BlockSpec((S, TT), lambda i: (0, i),
-                                memory_space=pltpu.VMEM)
-    out_shapes = [jax.ShapeDtypeStruct((1, G * S), jnp.float32)]
-    out_specs = [pl.BlockSpec((1, G * S), lambda i: (0, 0),
-                              memory_space=pltpu.VMEM)]
+    cspec = pl.BlockSpec((P, G * S8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    out_shapes = [jax.ShapeDtypeStruct((P, G * S8), jnp.float32)]
+    out_specs = [cspec]
     if full:
-        out_shapes += [jax.ShapeDtypeStruct((seg_len, S), jnp.float32)] * G
+        out_shapes += [jax.ShapeDtypeStruct((seg_len, P, S8),
+                                            jnp.float32)] * G
         out_specs += [tin() for _ in range(G)]
-    scratch = [pltpu.VMEM((1, G * S), jnp.float32)]
+    scratch = [pltpu.VMEM((P, G * S8), jnp.float32)]
+    cpack = jnp.concatenate([c[g].reshape(P, S8) for g in range(G)],
+                            axis=1)
+    r_ops = [r2p] if has_resets else []
     res = pl.pallas_call(
         kern,
         grid=(n_tiles,),
-        in_specs=[tin() for _ in range(G)] + [
-            tin(),
-            pl.BlockSpec((1, G * S), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=[tin() for _ in range(G)]
+        + ([tin()] if has_resets else []) + [
+            cspec,
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=scratch,
         interpret=bool(interpret),
-    )(*[m3t[g] for g in range(G)], r2t, c.reshape(1, G * S), scal)
-    return (res[0].reshape(G, S),) + tuple(res[1:])
+    )(*[m3p[g] for g in range(G)], *r_ops, cpack, scal)
+    co = res[0]
+    co_s = jnp.stack([co[:, g * S8:(g + 1) * S8].reshape(S)
+                      for g in range(G)])
+    return (co_s,) + tuple(res[1:])
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
-def _jacobi_carries(m3t, r2t, scal, init, S, seg_len, TT, interpret):
-    """m3t: [G, seg_len, S] time-major max-attenuations; r2t:
-    [seg_len, S] per-sample reset flags (nonzero only on K-group-start
-    samples; shared by all G chains); init: [G] attenuation state
-    entering segment 0 (zeros = track start). Returns (carries [G, S],
+def _pack_p(S: int) -> int:
+    """Sublanes used by the packed state: all 8 once S/8 keeps a full
+    128-lane vreg row; smaller S degrades gracefully toward the flat
+    layout (tiny inputs — the padding there is noise anyway)."""
+    return max(1, min(8, S // 128))
+
+
+def _pack_operands(m1, resets, S, seg_len, P):
+    """Build the kernel operands: per-chain [seg_len, P, S//P] time-major
+    sublane-packed max-attenuations + the shared reset plane (None when
+    ``resets`` is None — the normal continuous-track path skips the
+    whole plane: one fewer 4-byte-per-sample HBM stream per sweep and
+    one fewer pack transpose). Segment s occupies
+    (sublane s // (S//P), lane s % (S//P)) — the row-major
+    [S] -> [P, S//P] split, matching _jac_call's carry packing. One XLA
+    transpose per operand, reused by EVERY sweep."""
+    G = len(m1)
+    npad = m1[0].shape[1]
+    npad2 = S * seg_len
+    S8 = S // P
+    if resets is None:
+        r2p = None
+    else:
+        rg = jnp.pad(resets[0], (0, npad2 // _K - resets.shape[1]))
+        r2p = jnp.zeros((npad2 // _K, _K), jnp.float32).at[:, 0].set(rg) \
+            .reshape(S, seg_len).T.reshape(seg_len, P, S8)
+    m3p = jnp.stack([jnp.pad(m1[g][0], (0, npad2 - npad)).reshape(
+        S, seg_len).T.reshape(seg_len, P, S8) for g in range(G)])
+    return m3p, r2p
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+def _jacobi_carries(m3p, r2p, scal, init, S, seg_len, TT, interpret,
+                    P=1):
+    """m3p: [G, seg_len, P, S//P] time-major sublane-packed
+    max-attenuations (_pack_operands); r2p: [seg_len, P, S//P]
+    per-sample reset flags (nonzero only on K-group-start samples;
+    shared by all G chains); init: [G] attenuation state entering
+    segment 0 (zeros = track start). Returns (carries [G, S],
     converged [G]) — the full-output sweep runs separately (and only
     when something converged)."""
-    G = m3t.shape[0]
+    G = m3p.shape[0]
     # Identity segments (all-zero m, reset-free: every step is att -> att
     # EXACTLY, so skipping them reassociates nothing) are bridged by
     # indexing the last non-identity segment at or before each position —
@@ -403,8 +451,9 @@ def _jacobi_carries(m3t, r2t, scal, init, S, seg_len, TT, interpret):
     # per segment. Clamped segments need no special handling: their
     # carry-out is carry-in-independent, so plain Jacobi already jumps
     # past them after the first sweep.
-    seg_id = (jnp.max(m3t, axis=1) == 0.0) & \
-        (jnp.max(r2t, axis=0) == 0.0)[None]                 # [G, S]
+    seg_id = jnp.max(m3p, axis=1).reshape(G, S) == 0.0      # [G, S]
+    if r2p is not None:
+        seg_id &= (jnp.max(r2p, axis=0).reshape(S) == 0.0)[None]
     lasti = jax.lax.associative_scan(
         jnp.maximum, jnp.where(seg_id, -1, jnp.arange(S)[None]), axis=1)
 
@@ -423,16 +472,18 @@ def _jacobi_carries(m3t, r2t, scal, init, S, seg_len, TT, interpret):
     # prefix ONE segment per sweep, so with S >> _RMAX it can never
     # converge — yet it used to burn all _RMAX sweeps before falling back
     # to the sequential two-pass (measured ~9 ms of wasted sweeps on
-    # noise-like content). Collapsing content resolves almost everything
-    # by sweep 2 (sweep 1 computes the carry-independent maps, sweep 2
-    # confirms), so from sweep 3 on we require each sweep to resolve at
-    # least a quarter of the still-unresolved carries; otherwise bail to
-    # the fallback immediately. Bailing is a PERFORMANCE decision only —
-    # the two-pass fallback is exact either way.
+    # noise-like content). Bail rule: from sweep 3 on, project the
+    # current per-sweep resolution rate over the remaining sweep budget;
+    # if it cannot cover the still-unresolved carries, stop relaxing.
+    # (An absolute per-sweep quota was tried first and killed legitimate
+    # slow convergence on small-S inputs that resolve ~2 carries/sweep
+    # with only a dozen outstanding.) Bailing is a PERFORMANCE decision
+    # only — the two-pass fallback is exact either way.
     def cond(st):
         c_cur, done, j, nstab, prev_stab = st
-        unresolved_prev = jnp.int32(G * S) - prev_stab
-        progressing = (j < 2) | ((nstab - prev_stab) * 4 >= unresolved_prev)
+        unresolved = jnp.int32(G * S) - nstab
+        rate = jnp.maximum(nstab - prev_stab, 0)
+        progressing = (j < 3) | (rate * (_RMAX - j) >= unresolved)
         return (j < _RMAX) & ~jnp.all(done) & progressing
 
     def body(st):
@@ -440,8 +491,8 @@ def _jacobi_carries(m3t, r2t, scal, init, S, seg_len, TT, interpret):
         # carry sweeps reuse the full pass's tile size (larger carry
         # tiles measured ~13% slower end to end: the extra DMA per grid
         # step did not pay for the fewer steps)
-        (co,) = _jac_call(m3t, r2t, c_cur, scal, False, interpret,
-                          S, seg_len, TT)
+        (co,) = _jac_call(m3p, r2p, c_cur, scal, False, interpret,
+                          S, seg_len, TT, P)
         # ACCEPTANCE (per band): the refreshed carries must reproduce the
         # carries just used, i.e. c[s+1] == f_s(c[s]) bit-for-bit (with
         # identity segments skipped exactly) — exact by induction from
@@ -458,18 +509,26 @@ def _jacobi_carries(m3t, r2t, scal, init, S, seg_len, TT, interpret):
     return c_cur, converged
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
-def _jacobi_full(m3t, r2t, c, scal, S, seg_len, TT, interpret):
-    res = _jac_call(m3t, r2t, c, scal, True, bool(interpret), S, seg_len,
-                    TT)
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+def _jacobi_full(m3p, r2p, c, scal, S, seg_len, TT, interpret, P=1):
+    res = _jac_call(m3p, r2p, c, scal, True, bool(interpret), S, seg_len,
+                    TT, P)
     return jnp.stack(res[1:])
 
 
 def _select_S(npad: int) -> int:
-    """Segments = pow2 in [8, 512], targeting ~16 K-sample segments (long
-    enough that real audio collapses each segment's map; see above)."""
+    """Segments = pow2 in [8, _SMAX], targeting ~4 K-sample (~93 ms)
+    segments. Sweep cost is seg_len sequential steps, so more/shorter
+    segments are faster — the floor is collapse probability: a segment
+    whose gain never caps at max-att nor floors at 0 forwards its carry
+    dependence, and runs of such segments longer than the sweep budget
+    stall the relaxation (the stall detector then bails to the exact
+    two-pass). 93 ms still spans several attack windows (5 ms) and ~2
+    release windows (50 ms) of the pydub clock, and program material
+    measured >99% collapsed segments at this length."""
     import math as _math
-    return 1 << max(3, min(9, int(_math.log2(max(npad // 16384, 8)))))
+    return 1 << max(3, min(_SMAX_LOG, int(_math.log2(max(npad // 4096,
+                                                         8)))))
 
 
 def _gain_engine(G, m1, resets, scal, interpret, init=None):
@@ -489,10 +548,12 @@ def _gain_engine(G, m1, resets, scal, interpret, init=None):
     live inside one jitted program."""
     if init is None:
         init = jnp.zeros((G,), jnp.float32)
-    if not _JACOBI:
-        return [a[:m1[0].shape[1]] for a in
-                _two_pass(G, m1, resets, scal, interpret, init)]
     npad = m1[0].shape[1]
+    if not _JACOBI:
+        resets_tp = resets if resets is not None else \
+            jnp.zeros((1, npad // _K), jnp.float32)
+        return [a[:npad] for a in
+                _two_pass(G, m1, resets_tp, scal, interpret, init)]
 
     # All-silent early-out (round 5): when every chain's max-attenuation
     # is identically zero and the initial state is zero, the recurrence is
@@ -520,45 +581,42 @@ def _gain_engine_hot(G, m1, resets, scal, interpret, init):
     """The full Jacobi-with-fallback engine (see _gain_engine)."""
     npad = m1[0].shape[1]
     S = _select_S(npad)
-    # time tile shrinks with G to keep the full-output kernel (G m-tiles +
-    # the packed row buffer + G out tiles) inside VMEM; 128 is the Mosaic
-    # minimum lane-dim block. The carry sweeps carry no output buffers,
-    # so they run at double the tile (fewer grid steps — measured faster
-    # post-lane-packing). Interpret mode has no lane floor and pays
-    # compile time per unrolled step, so tile small.
-    TT = _K if interpret else max(128, (_TT // G) // _K * _K)
+    P = _pack_p(S)
+    # time tile sized to hold the working set (G m-tiles + reset plane +
+    # G out tiles, double-buffered) within VMEM: ~2^17 f32 elements per
+    # chain-tile. The carry sweeps carry no output buffers, so they run
+    # at double the tile (fewer grid steps — measured faster post
+    # lane-packing). Interpret mode has no lane floor and pays compile
+    # time per unrolled step, so tile small.
+    TT = _K if interpret else max(_K, min((1 << 17) // S, _TT)
+                                  // _K * _K)
     TT_C = TT if interpret else 2 * TT
     seg_len = -(-npad // (S * TT_C)) * TT_C
     npad2 = S * seg_len
-    # expand group-start flags to per-sample positions (Mosaic needs the
-    # reset operand tiled like m; only rows j % K == 0 are ever read)
-    rg = jnp.pad(resets[0], (0, npad2 // _K - resets.shape[1]))
-    # time-major operands: one XLA transpose here, reused by EVERY sweep
-    # (the old segment-major tiles paid an MXU transpose per tile per
-    # sweep — the dominant sweep cost at G=3)
-    r2t = jnp.zeros((npad2 // _K, _K), jnp.float32).at[:, 0].set(rg) \
-        .reshape(S, seg_len).T
-    m3t = jnp.stack([jnp.pad(m1[g][0], (0, npad2 - npad)).reshape(
-        S, seg_len).T for g in range(G)])
-    c_fix, ok = _jacobi_carries(m3t, r2t, scal, init, S, seg_len, TT_C,
-                                bool(interpret))
+    m3p, r2p = _pack_operands(m1, resets, S, seg_len, P)
+    c_fix, ok = _jacobi_carries(m3p, r2p, scal, init, S, seg_len, TT_C,
+                                bool(interpret), P)
 
     att_jac = jax.lax.cond(
         jnp.any(ok),
-        lambda: _jacobi_full(m3t, r2t, c_fix, scal, S, seg_len, TT,
-                             bool(interpret)),
-        lambda: jnp.zeros((G, seg_len, S), jnp.float32))
+        lambda: _jacobi_full(m3p, r2p, c_fix, scal, S, seg_len, TT,
+                             bool(interpret), P),
+        lambda: jnp.zeros((G, seg_len, P, S // P), jnp.float32))
 
+    resets_tp = resets if resets is not None else \
+        jnp.zeros((1, npad // _K), jnp.float32)
     tp = jax.lax.cond(
         jnp.all(ok),
         lambda: jnp.zeros((G, npad), jnp.float32),
         lambda: jnp.stack([a[:npad] for a in
-                           _two_pass(G, m1, resets, scal, interpret,
+                           _two_pass(G, m1, resets_tp, scal, interpret,
                                      init)]))
 
     # full-sweep outputs are time-major; one XLA transpose back to the
     # flat segment-major order (see _jac_kernel)
-    return [jnp.where(ok[g], att_jac[g].T.reshape(npad2)[:npad], tp[g])
+    return [jnp.where(ok[g],
+                      att_jac[g].reshape(seg_len, S).T.reshape(npad2)[:npad],
+                      tp[g])
             for g in range(G)]
 
 
@@ -615,8 +673,9 @@ def pydub_gain_multi(ms, attack_frames: float, release_frames: float,
     npad = _pad_block(n)
     # zero padding = below-threshold freeze: exact, and trimmed afterwards
     m1 = tuple(jnp.pad(m, (0, npad - n)).reshape(1, npad) for m in ms)
-    resets = jnp.zeros((1, npad // _K), jnp.float32)
-    return [a[:n] for a in _gain_engine(G, m1, resets, scal, interpret,
+    # resets=None: the continuous-track path — the Jacobi sweeps skip the
+    # whole reset plane (operand, DMA stream, and per-sample multiply)
+    return [a[:n] for a in _gain_engine(G, m1, None, scal, interpret,
                                         init)]
 
 

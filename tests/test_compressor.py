@@ -209,18 +209,14 @@ def test_jacobi_convergence_flag_and_fallback():
     def carries(m1, resets, scal):
         npad = m1[0].shape[1]
         S = pg._select_S(npad)
+        P = pg._pack_p(S)
         TT = pg._K  # interpret mode tiles small
         seg_len = -(-npad // (S * TT)) * TT
-        npad2 = S * seg_len
-        rg = jnp.pad(resets[0], (0, npad2 // pg._K - resets.shape[1]))
-        # time-major operands (round 4 — see _gain_engine)
-        r2t = jnp.zeros((npad2 // pg._K, pg._K), jnp.float32) \
-            .at[:, 0].set(rg).reshape(S, seg_len).T
-        m3t = jnp.stack([jnp.pad(m1[g][0], (0, npad2 - npad)).reshape(
-            S, seg_len).T for g in range(len(m1))])
-        return pg._jacobi_carries(m3t, r2t, scal,
-                                  jnp.zeros((m3t.shape[0],)), S, seg_len,
-                                  TT, True)
+        # packed time-major operands (round 5 — see _gain_engine)
+        m3p, r2p = pg._pack_operands(m1, resets, S, seg_len, P)
+        return pg._jacobi_carries(m3p, r2p, scal,
+                                  jnp.zeros((m3p.shape[0],)), S, seg_len,
+                                  TT, True, P)
 
     rng = np.random.default_rng(3)
     n = 9 * 16384
@@ -237,9 +233,10 @@ def test_jacobi_convergence_flag_and_fallback():
     np.testing.assert_array_equal(np.asarray(outs[0]), ref)
 
     # translation maps: the exactness front advances one segment/sweep, so
-    # with S(=32) segments > _RMAX(24) sweeps the carry vector cannot
-    # stabilize -> converged False and the engine's on-device lax.cond
-    # selects the exact sequential two-pass path
+    # with S segments >> _RMAX sweeps the carry vector cannot stabilize
+    # (the rate-projection stall detector bails after sweep 3) ->
+    # converged False and the engine's on-device lax.cond selects the
+    # exact sequential two-pass path
     n2 = 32 * 16384
     resets2 = jnp.zeros((1, n2 // pg._K), jnp.float32)
     m1 = (jnp.full((1, n2), 10.0, jnp.float32),)

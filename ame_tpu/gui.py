@@ -11,13 +11,16 @@ from the worker thread — they enqueue onto a Queue drained by an ``after()``
 pump on the Tk main loop (the reference mutates widgets cross-thread,
 quirk Q12). ttkthemes/PIL are optional; the GUI degrades to stock ttk and
 skips image rendering without them.
+
+All behavior lives in ame_tpu/gui_logic.GuiController (headless, tested
+in tests/test_gui_logic.py); this module is the Tk rendering of its view
+surface.
 """
 
 from __future__ import annotations
 
-import os
-import queue
-import threading
+from ame_tpu.gui_logic import GuiController, suggest_output_path, \
+    build_settings
 
 try:
     import tkinter as tk
@@ -37,6 +40,23 @@ try:
     from PIL import Image, ImageTk
 except ImportError:
     Image = None
+
+
+def _fit_files(src: str, ref: str, fit_multiband: bool) -> dict:
+    """Worker-side reference match: read both files, resample the
+    reference to the source rate, fit settings (models/automaster.py).
+    Called by GuiController.start_match on a worker thread."""
+    import jax.numpy as jnp
+    from ame_tpu.io import force_stereo, read_audio
+    from ame_tpu.models.automaster import fit_settings
+    from ame_tpu.ops.resample import resample
+    x, sr_x = read_audio(src)
+    t, sr_t = read_audio(ref)
+    x, t = force_stereo(x), force_stereo(t)
+    if sr_t != sr_x:
+        t = resample(jnp.asarray(t), sr_t, sr_x)
+    return fit_settings(jnp.asarray(x), sr_x, jnp.asarray(t),
+                        steps=120, optimize_multiband=fit_multiband)
 
 
 MAIN_SLIDERS = [
@@ -70,7 +90,7 @@ class MasteringApp(_Root if tk else object):
             super().__init__()
         self.title("ame_tpu Mastering Studio")
         self.geometry("760x1020")
-        self._events: "queue.Queue[tuple]" = queue.Queue()
+        self.controller = GuiController(self)
         self._photo = None
 
         from ame_tpu.presets import EQ_PRESETS
@@ -198,9 +218,7 @@ class MasteringApp(_Root if tk else object):
             ("All files", "*.*")])
         if path:
             self.input_var.set(path)
-            d, base = os.path.split(path)
-            stem = os.path.splitext(base)[0]
-            self.output_var.set(os.path.join(d, f"{stem}_mastered.wav"))
+            self.output_var.set(suggest_output_path(path))
 
     def _pick_output(self):
         path = filedialog.asksaveasfilename(
@@ -209,16 +227,7 @@ class MasteringApp(_Root if tk else object):
             self.output_var.set(path)
 
     def _apply_preset(self, name):
-        if name == "None":
-            for key in ("bass_boost", "mid_cut", "presence_boost",
-                        "treble_boost"):
-                self.vars[key].set(0)
-            return
-        preset = self._presets.get(name, {})
-        for key, value in preset.items():
-            if key in self.vars:
-                self.vars[key].set(value)
-        self._on_status(f"Loaded '{name}' preset.")
+        self.controller.apply_preset(name, self._presets)
 
     def _match_reference(self):
         """Fit EQ/width/character (and multiband when enabled) so the
@@ -235,45 +244,8 @@ class MasteringApp(_Root if tk else object):
                        ("All files", "*.*")])
         if not ref:
             return
-        self.match_btn.config(state=tk.DISABLED)
-        src = self.input_var.get()
-        fit_mb = self.multiband_var.get()
-        put = self._events.put
-
-        def work():
-            try:
-                import jax.numpy as jnp
-                from ame_tpu.io import force_stereo, read_audio
-                from ame_tpu.models.automaster import fit_settings
-                from ame_tpu.ops.resample import resample
-                put(("status", "Fitting settings to the reference..."))
-                x, sr_x = read_audio(src)
-                t, sr_t = read_audio(ref)
-                x, t = force_stereo(x), force_stereo(t)
-                if sr_t != sr_x:
-                    t = resample(jnp.asarray(t), sr_t, sr_x)
-                fitted = fit_settings(jnp.asarray(x), sr_x, jnp.asarray(t),
-                                      steps=120, optimize_multiband=fit_mb)
-                put(("fitted", fitted))
-                put(("status",
-                     f"Success: matched reference "
-                     f"(loss {fitted['loss']:.2f})."))
-            except Exception as e:  # pragma: no cover - UI error path
-                put(("fitted", None))
-                put(("status", f"Error: reference match failed: {e}"))
-
-        threading.Thread(target=work, daemon=True).start()
-
-    def _apply_fitted(self, fitted):
-        self.match_btn.config(state=tk.NORMAL)
-        if not fitted:
-            return
-        for key, var in self.vars.items():
-            if key in fitted:
-                var.set(round(float(fitted[key]), 2))
-        if fitted.get("multiband"):
-            self.multiband_var.set(True)
-            self._toggle_mb()
+        self.controller.start_match(self.input_var.get(), ref,
+                                    self.multiband_var.get(), _fit_files)
 
     def _toggle_mb(self):
         if self.multiband_var.get():
@@ -287,68 +259,55 @@ class MasteringApp(_Root if tk else object):
 
     # -- worker ---------------------------------------------------------------
     def _start(self):
-        if not self.input_var.get() or not self.output_var.get():
-            messagebox.showerror(
-                "Error", "Please select both an input and an output file.")
-            return
-        self.start_btn.config(state=tk.DISABLED)
-        self.progress["value"] = 0
-        settings = {k: v.get() for k, v in self.vars.items()}
-        settings.update({
-            "input_file": self.input_var.get(),
-            "output_file": self.output_var.get(),
-            "multiband": self.multiband_var.get(),
-            "art_prompt": self.prompt_var.get(),
-            "auto_generate_prompt": self.auto_prompt_var.get(),
-            "create_mp3": self.mp3_var.get(),
-            "shard_time": self.shard_var.get(),
-        })
-
-        # queue-marshaled callbacks: worker thread only enqueues
-        put = self._events.put
+        settings = build_settings(
+            {k: v.get() for k, v in self.vars.items()},
+            input_file=self.input_var.get(),
+            output_file=self.output_var.get(),
+            multiband=self.multiband_var.get(),
+            art_prompt=self.prompt_var.get(),
+            auto_generate_prompt=self.auto_prompt_var.get(),
+            create_mp3=self.mp3_var.get(),
+            shard_time=self.shard_var.get())
         from ame_tpu.api import process_audio
-        worker = threading.Thread(
-            target=process_audio,
-            args=(settings,
-                  lambda m: put(("status", m)),
-                  lambda c, t: put(("progress", (c, t))),
-                  lambda p: put(("art", p)),
-                  lambda m: put(("tag", m))),
-            daemon=True)
-        worker.start()
+        self.controller.start(settings, process_audio)
 
     def _drain_events(self):
-        try:
-            while True:
-                kind, payload = self._events.get_nowait()
-                if kind == "status":
-                    self._on_status(payload)
-                elif kind == "progress":
-                    cur, total = payload
-                    if total > 0:
-                        self.progress["maximum"] = total
-                        self.progress["value"] = cur
-                elif kind == "tag":
-                    self.tag_label.config(text=f"Studio Notes: {payload}")
-                elif kind == "art":
-                    self._show_art(payload)
-                elif kind == "fitted":
-                    self._apply_fitted(payload)
-        except queue.Empty:
-            pass
+        self.controller.drain()
         self.after(self.POLL_MS, self._drain_events)
 
-    def _on_status(self, message):
+    # -- GuiController view surface -------------------------------------------
+    def set_status(self, message):
         self.status_label.config(text=message)
-        # the reference's parsed prefix contract (quirk Q13)
-        if ("Success:" in message or "Error:" in message
-                or "Failed:" in message):
-            self.start_btn.config(state=tk.NORMAL)
-            if "Success:" in message:
-                messagebox.showinfo("Success",
-                                    "Your audio has been mastered.")
 
-    def _show_art(self, image_path):
+    def set_progress(self, value, maximum):
+        if maximum is not None:
+            self.progress["maximum"] = maximum
+        self.progress["value"] = value
+
+    def set_tag(self, text):
+        self.tag_label.config(text=text)
+
+    def set_busy(self, busy):
+        self.start_btn.config(state=tk.DISABLED if busy else tk.NORMAL)
+
+    def set_match_busy(self, busy):
+        self.match_btn.config(state=tk.DISABLED if busy else tk.NORMAL)
+
+    def show_info(self, title, message):
+        messagebox.showinfo(title, message)
+
+    def show_error(self, title, message):
+        messagebox.showerror(title, message)
+
+    def set_value(self, key, value):
+        if key in self.vars:
+            self.vars[key].set(value)
+
+    def enable_multiband(self):
+        self.multiband_var.set(True)
+        self._toggle_mb()
+
+    def show_art(self, image_path):
         if not image_path or Image is None:
             return
         try:

@@ -171,6 +171,24 @@ class JobStore:
                        if j.get("client") == client
                        and j.get("status") == "processing")
 
+    def create_job_within_quota(self, name: str, state: dict, client: str,
+                                quota: int) -> bool:
+        """Atomically check the per-client in-flight quota AND register the
+        job under ONE lock hold. A separate check-then-create (the obvious
+        handler-side shape) races: two simultaneous /start-processing
+        requests from the same client both observe quota-1 in-flight jobs
+        and both insert — exceeding the quota. Returns False when the
+        quota is full (the handler answers 429)."""
+        with self.lock:
+            if quota > 0:
+                active = sum(1 for j in self.jobs.values()
+                             if j.get("client") == client
+                             and j.get("status") == "processing")
+                if active >= quota:
+                    return False
+            self.jobs[name] = state
+            return True
+
     def update_job(self, name: str, **fields) -> None:
         with self.lock:
             job = self.jobs.get(name)
@@ -432,24 +450,25 @@ class Handler(BaseHTTPRequestHandler):
                     return
                 client = self.client_address[0]
                 quota = self.store.client_quota
-                if quota > 0 and \
-                        self.store.active_jobs_for(client) >= quota:
-                    self._json(429, {"error":
-                                     f"quota exceeded: {quota} in-flight "
-                                     f"job(s) per client"})
-                    return
                 stem = os.path.splitext(os.path.basename(input_path))[0]
                 out_name = f"{stem}_mastered.wav"
                 art_name = f"{stem}_mastered_art.png"
                 settings["input_file"] = input_path
                 settings["gcs_uri"] = uri   # lets TTL GC drop the object
                 settings["output_file"] = self.store.output_path(out_name)
-                self.store.create_job(out_name, {
-                    "status": "processing", "messages": [],
-                    "progress": [0, 1], "tag": "", "art_file": None,
-                    "settings": settings, "created": time.time(),
-                    "client": client,
-                })
+                # quota check + job registration are ONE atomic store op:
+                # check-then-create here would let two simultaneous
+                # requests from one client both pass the check
+                if not self.store.create_job_within_quota(out_name, {
+                        "status": "processing", "messages": [],
+                        "progress": [0, 1], "tag": "", "art_file": None,
+                        "settings": settings, "created": time.time(),
+                        "client": client,
+                }, client, quota):
+                    self._json(429, {"error":
+                                     f"quota exceeded: {quota} in-flight "
+                                     f"job(s) per client"})
+                    return
                 self.store.persist()
                 self.store.queue.put((out_name, settings))
                 self._json(200, {"processed_filename": out_name,

@@ -127,3 +127,30 @@ def test_train_checkpoint_roundtrip(tmp_path):
     flat_b = jax.tree_util.tree_leaves(params)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_mood_ingests_external_labeled_directory(tmp_path):
+    """The documented retrain path (README: swap in a real corpus via
+    models/train_mood.py) must ingest a <root>/<class-name>/*.wav layout
+    UNCHANGED — this is how the synthetic-corpus caveat gets discharged
+    when real labeled audio exists (reference ai_tagger.py:19-22)."""
+    from ame_tpu.io.wav import write_wav
+    from ame_tpu.models.train_mood import _load_examples
+
+    sr = 22050
+    rng = np.random.default_rng(7)
+    for cls, f0 in (("Angry-Anxious", 330.0), ("Calm-Content", 110.0)):
+        d = tmp_path / cls
+        d.mkdir()
+        t = np.arange(sr * 2) / sr
+        x = (0.3 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+        write_wav(str(d / "track.wav"), np.stack([x, x], 1), sr)
+
+    examples = list(_load_examples(str(tmp_path), np.random.default_rng(0),
+                                   per_track=2, augment=1.0))
+    assert len(examples) == 4  # 2 classes x 1 track x per_track 2
+    labels = sorted({lab for _, lab in examples})
+    assert labels == [0, 1]   # MOOD_CLASSES indices for the two dirs
+    for img, _ in examples:
+        assert img.shape == (128, 128, 3)
+        assert np.isfinite(img).all()

@@ -609,3 +609,116 @@ def test_auth_and_quota_abuse_controls(tmp_path, monkeypatch):
         assert st["status"] in ("processing", "done")
     finally:
         srv.shutdown()
+
+
+# -- concurrency load (VERDICT r4 item 8) ---------------------------------------
+
+def test_quota_reservation_is_atomic(tmp_path):
+    """Two simultaneous /start-processing requests from one client must not
+    both pass a quota of 1: the check and the job registration happen
+    under ONE lock hold (JobStore.create_job_within_quota). This fails on
+    the naive check-then-create shape."""
+    from ame_tpu.serve.server import JobStore
+    store = JobStore(str(tmp_path / "q"), ttl_s=3600)
+    n, quota = 16, 2
+    barrier = threading.Barrier(n)
+    results = [None] * n
+
+    def go(i):
+        barrier.wait()
+        results[i] = store.create_job_within_quota(
+            f"j{i}_mastered.wav",
+            {"status": "processing", "client": "c", "messages": []},
+            "c", quota)
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(30)
+    assert sum(bool(r) for r in results) == quota
+    assert store.active_jobs_for("c") == quota
+    # a second client is unaffected by the first's quota
+    assert store.create_job_within_quota(
+        "other_mastered.wav", {"status": "processing", "client": "d"},
+        "d", quota)
+
+
+def test_concurrent_load(tmp_path_factory, tmp_path):
+    """N clients drive upload -> start -> poll -> download simultaneously
+    with the quota ACTIVE (set exactly to N, so accounting runs on every
+    request but rejects none). Fails on a lost job (any non-done state), a
+    double assignment (a job's message log would carry two worker
+    passes), or a persist race (jobs.json unparseable / missing jobs)."""
+    import os
+    workdir = str(tmp_path_factory.mktemp("serve_load"))
+    srv, store = make_server(host="127.0.0.1", port=0, workdir=workdir,
+                             workers=3)
+    store.client_quota = 8   # all test threads share 127.0.0.1
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    n = 8
+    results = [None] * n
+    barrier = threading.Barrier(n)
+
+    def client(i):
+        try:
+            x = make_test_signal("noise", 4096, 44100) * 0.2
+            p = str(tmp_path / f"in_{i}.wav")
+            write_wav(p, x, 44100)
+            barrier.wait(timeout=60)
+            r = _post(base, "/generate-upload-url",
+                      {"filename": f"load{i}.wav"})
+            with open(p, "rb") as f:
+                req = urllib.request.Request(base + r["url"], f.read(),
+                                             method="PUT")
+                urllib.request.urlopen(req).read()
+            r2 = _post(base, "/start-processing",
+                       {"gcs_uri": r["gcs_uri"],
+                        "settings": {"bass_boost": 1.0, "lufs": None,
+                                     "create_mp3": False}})
+            name = r2["processed_filename"]
+            deadline = time.time() + 300
+            st = {"status": "processing"}
+            while time.time() < deadline and st["status"] == "processing":
+                st = _get(base, f"/status?audio_filename={name}"
+                                f"&image_filename={r2['image_filename']}")
+                time.sleep(0.25)
+            assert st["status"] == "done", (i, st)
+            blob = urllib.request.urlopen(base + st["download_url"]).read()
+            assert blob[:4] == b"RIFF"
+            results[i] = name
+        except Exception as e:  # noqa: BLE001 — surfaced via results
+            results[i] = e
+
+    try:
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(360)
+        failures = [r for r in results if not isinstance(r, str)]
+        assert not failures, failures
+        assert len(set(results)) == n   # uuid blob ids -> unique job names
+
+        # no lost jobs, no double assignment: every job is done and its
+        # message log holds exactly ONE worker pass (one terminal status)
+        for name in results:
+            snap = store.job_snapshot(name)
+            assert snap["status"] == "done", snap
+            msgs = snap.get("messages", [])
+            terminal = [m for m in msgs
+                        if m.startswith(("Success:", "Error:", "Failed:"))]
+            assert len(terminal) == 1, (name, msgs)
+            # worker pinning: each job records the device it ran on
+            assert snap.get("device"), snap
+
+        # persist-race check: the on-disk manifest is parseable and
+        # carries every job in its final state
+        with open(os.path.join(workdir, "jobs.json")) as f:
+            persisted = json.load(f)
+        for name in results:
+            assert persisted[name]["status"] == "done"
+    finally:
+        srv.shutdown()

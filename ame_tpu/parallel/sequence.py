@@ -52,6 +52,13 @@ def sosfilt_sequence_parallel(sos, x: jax.Array, mesh: Mesh,
         raise ValueError(f"N={n} not divisible by {ndev} shards")
     local_n = n // ndev
     sos_np = np.ascontiguousarray(np.asarray(sos, np.float64))
+    if ndev == 1:
+        # one shard: the inbound carry is identically zero, so the whole
+        # gather/compose/superposition machinery computes y0 + 0 — skip it
+        # (the mesh-1 sp fixed cost was ~1 zero-input response per cascade)
+        fn = shard_map(lambda xl: sosfilt_scan(sos_np, xl)[0], mesh=mesh,
+                       in_specs=(P(axis, None),), out_specs=P(axis, None))
+        return fn(x)
     k = sos_np.shape[0]
     D = 2 * k
 

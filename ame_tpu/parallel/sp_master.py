@@ -159,7 +159,17 @@ def _limiter_sharded(x, sample_rate: float, mesh: Mesh, axis: str,
     halo_r = min(2 * attack, local_n)
     decay = math.exp(-1.0 / (C.LIMITER_RELEASE_MS * sample_rate / 1000.0))
 
+    ndev = mesh.shape[axis]
+
     def local_fn(xl):
+        if ndev == 1:
+            # halos would be zeros: a zero left warm-up is exactly the
+            # fresh limiter state, and zero right lookahead matches the
+            # single-chip end-of-track behavior — run the track directly
+            y, _ = _limiter_jit(xl, attack, xl.shape[0],
+                                jnp.asarray(C.LIMITER_CEILING, xl.dtype),
+                                jnp.asarray(decay, xl.dtype))
+            return y
         ext = jnp.concatenate([_left_halo(xl, halo_l, axis), xl,
                                _right_halo(xl, halo_r, axis)])
         y_ext, _ = _limiter_jit(ext, attack, ext.shape[0],
@@ -249,6 +259,8 @@ def _multiband_sp(x, sample_rate: float, settings, mesh: Mesh, axis: str,
         gr = over * (1.0 - 1.0 / jnp.asarray(ra_a, dt))
         # shard-local release scan + exact cross-shard (max, x) carry
         y_loc = W.release_scan(gr, rel_decay)
+        if ndev == 1:
+            return y_loc  # the inbound carry is identically zero
         es = jax.lax.all_gather(y_loc[-1], axis)            # [S, G]
         s_idx = jax.lax.axis_index(axis)
         j = jnp.arange(ndev)

@@ -108,6 +108,14 @@ def _configs():
                                     treble_boost=0.5, width=1.2,
                                     analog_character=20.0, lufs=-14.0,
                                     mode="quality"),
+        # the sp_quality settings on the SINGLE-CHIP fused graph — the
+        # apples-to-apples comparison point for sp_quality_ndev1 (the r4
+        # "6x sp overhead" compared sp-with-multiband against a headline
+        # WITHOUT multiband; this line pins the real ratio)
+        "full_lufs_mb": MasterSettings(bass_boost=2.0, presence_boost=1.5,
+                                       width=1.2, analog_character=20.0,
+                                       multiband=True, lufs=-14.0,
+                                       mode="quality"),
         # bit-faithful pydub-gain multiband + real ffmpeg two-pass loudnorm
         # + alimiter-contract limiter, one traced program (round 3: the
         # Jacobi verdict moved on device, so compat fuses end to end)
@@ -342,6 +350,16 @@ def _board(x, configs):
                 _emit({"config": f"{mode}_ndev{ndev}",
                        "value": round(med, 1), "spread": spread,
                        "unit": "x_realtime"})
+                # sp fixed-overhead factor at mesh 1 vs the single-chip
+                # fused graph with the SAME settings (VERDICT r4 item 4)
+                if mode == "sp_quality" and ndev == 1 and \
+                        measured.get("full_lufs_mb"):
+                    _emit({"config": "sp_overhead_factor_at_ndev1",
+                           "value": round(measured["full_lufs_mb"] / med,
+                                          2),
+                           "unit": "x_slower_than_single_chip",
+                           "protocol": "full_lufs_mb median / "
+                                       "sp_quality_ndev1 median"})
     except Exception as e:  # noqa: BLE001
         _emit({"config": "sp_chain", "error": str(e)[:300]})
 
@@ -403,6 +421,47 @@ def _end_to_end():
             except Exception as e:  # noqa: BLE001
                 _emit({"config": tag,
                        "error": f"{type(e).__name__}: {e}"[:300]})
+
+        # where the product-level time goes: decode / device chain (incl.
+        # staging + the loudnorm host sync) / WAV write, timed separately
+        # (the VERDICT r4 ask was to expose whether host I/O dominates)
+        try:
+            import jax.numpy as jnp
+            from ame_tpu.io import force_stereo, read_audio
+            from ame_tpu.io import wav as _w
+            from ame_tpu.graph.chain import master_graph_fused
+            from ame_tpu.config import MasterSettings
+            t0 = time.perf_counter()
+            audio, sr_in = read_audio(src)
+            audio = force_stereo(audio)
+            t_dec = time.perf_counter() - t0
+            s = MasterSettings(bass_boost=2.0, presence_boost=1.5,
+                               treble_boost=0.5, width=1.2,
+                               analog_character=20.0, lufs=-14.0,
+                               mode="quality")
+            xg = jnp.asarray(audio)
+            y, _info = master_graph_fused(xg, sr_in, s)   # compile
+            float(np.asarray(y[0, 0]))
+            t0 = time.perf_counter()
+            y, _info = master_graph_fused(xg, sr_in, s)
+            float(np.asarray(y[0, 0]))
+            t_dev = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            yh = np.asarray(y)
+            t_fetch = time.perf_counter() - t0
+            out2 = os.path.join(td, "bench_breakdown.wav")
+            t0 = time.perf_counter()
+            _w.write_wav(out2, yh, sr_in, bits=16)
+            t_enc = time.perf_counter() - t0
+            _emit({"config": "end_to_end_breakdown_s",
+                   "decode": round(t_dec, 3),
+                   "device_chain": round(t_dev, 3),
+                   "fetch": round(t_fetch, 3),
+                   "wav_write": round(t_enc, 3),
+                   "unit": "seconds (190.2 s track)"})
+        except Exception as e:  # noqa: BLE001
+            _emit({"config": "end_to_end_breakdown_s",
+                   "error": f"{type(e).__name__}: {e}"[:300]})
 
 
 def _reference_proxy(measured):

@@ -458,7 +458,7 @@ def _end_to_end():
                    "device_chain": round(t_dev, 3),
                    "fetch": round(t_fetch, 3),
                    "wav_write": round(t_enc, 3),
-                   "unit": "seconds (190.2 s track)"})
+                   "unit": f"seconds ({N / SR:.1f} s track)"})
         except Exception as e:  # noqa: BLE001
             _emit({"config": "end_to_end_breakdown_s",
                    "error": f"{type(e).__name__}: {e}"[:300]})
@@ -542,7 +542,16 @@ def main():
                     help="abort if the WHOLE bench hasn't finished within "
                          "this (cold compiles included) — a tunnel hang "
                          "at ANY round-trip must not stall the caller")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny-N fast pass that exercises EVERY board "
+                         "section (values meaningless) — validates the "
+                         "bench code paths on CPU before a driver run "
+                         "burns the hardware window on a crash")
     args = ap.parse_args()
+
+    if args.smoke:
+        global N
+        N = 1 << 18   # 5.9 s — big enough for the 3.1 s compat controller
 
     disarm = _arm_watchdog(args.watchdog_s)
 

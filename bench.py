@@ -59,36 +59,60 @@ def _sentinel_headline(error, detail=""):
     })
 
 
-def _backend_up(retries=None, backoff_s=None):
+def _backend_up(retries=None, backoff_s=None, probe_timeout_s=None):
     """Bring the accelerator up, retrying with backoff.
 
     Returns the error string on final failure, None on success. The
     probe runs a real device op round-trip — BENCH_r03 died at the
     FIRST device op (`RuntimeError: Unable to initialize backend`),
     after `import jax` itself succeeded.
+
+    The probe is TIME-BOUNDED (round-5 fix): a hung tunnel makes the
+    first device op block FOREVER — no exception, so the retry loop
+    never engaged and the whole watchdog budget burned inside attempt 1.
+    Each attempt now runs in a daemon thread joined with a deadline;
+    a timed-out attempt counts as a failure and the backoff/retry cycle
+    gets its chance (the tunnel has been observed to recover between
+    hangs). A late-completing orphan probe is harmless.
     """
     import os
+    import threading
     if retries is None:
         retries = int(os.environ.get("AME_TPU_BENCH_RETRIES", "3"))
     if backoff_s is None:
         backoff_s = float(os.environ.get("AME_TPU_BENCH_BACKOFF_S", "20"))
+    if probe_timeout_s is None:
+        probe_timeout_s = float(os.environ.get(
+            "AME_TPU_BENCH_PROBE_TIMEOUT_S", "180"))
     last = ""
     for attempt in range(retries):
-        try:
-            import jax
-            import jax.numpy as jnp
-            devs = jax.devices()
-            probe = jnp.zeros((8,), jnp.float32) + 1.0
-            assert float(np.asarray(probe[0])) == 1.0
-            print(f"bench: backend up, devices={devs}", file=sys.stderr,
-                  flush=True)
+        result: dict = {}
+
+        def _probe():
+            try:
+                import jax
+                import jax.numpy as jnp
+                devs = jax.devices()
+                probe = jnp.zeros((8,), jnp.float32) + 1.0
+                assert float(np.asarray(probe[0])) == 1.0
+                result["devices"] = devs
+            except Exception as e:  # noqa: BLE001 — reported below
+                result["error"] = f"{type(e).__name__}: {e}"
+
+        t = threading.Thread(target=_probe, daemon=True)
+        t.start()
+        t.join(probe_timeout_s)
+        if "devices" in result:
+            print(f"bench: backend up, devices={result['devices']}",
+                  file=sys.stderr, flush=True)
             return None
-        except Exception as e:  # noqa: BLE001 — any init failure retries
-            last = f"{type(e).__name__}: {e}"
-            print(f"bench: backend probe failed (attempt {attempt + 1}/"
-                  f"{retries}): {last}", file=sys.stderr, flush=True)
-            if attempt + 1 < retries:
-                time.sleep(backoff_s * (attempt + 1))
+        last = result.get(
+            "error",
+            f"probe hung > {probe_timeout_s:.0f}s (tunnel wedged)")
+        print(f"bench: backend probe failed (attempt {attempt + 1}/"
+              f"{retries}): {last}", file=sys.stderr, flush=True)
+        if attempt + 1 < retries:
+            time.sleep(backoff_s * (attempt + 1))
     return last
 
 

@@ -148,7 +148,17 @@ def master_array(audio: np.ndarray, sr: int, output_file: str,
     log_memory_usage("After Graph")
 
     status_callback("Exporting master...")
-    write_audio(output_file, np.asarray(y), sr, bits=settings.bits)
+    ext = os.path.splitext(output_file)[1].lower()
+    if settings.bits == 16 and ext in (".wav", ".wave", ".aif", ".aiff"):
+        # Quantize ON DEVICE and fetch int16: the e2e breakdown measured
+        # the float32 output fetch as the product-level bottleneck
+        # (5.8 s vs a 33 ms device chain on the tunneled link) — int16
+        # halves the dominant transfer, and the formula is the exact
+        # trunc(clip·32767) the writers apply (ops/quantize.py).
+        pcm = quantize.float_to_int16(y).astype(jnp.int16)
+        write_audio(output_file, np.asarray(pcm), sr, bits=16)
+    else:
+        write_audio(output_file, np.asarray(y), sr, bits=settings.bits)
     progress_callback(total_steps, total_steps)
     log_memory_usage("After Export")
 

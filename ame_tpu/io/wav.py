@@ -88,7 +88,13 @@ def write_wav(path: str, audio: np.ndarray, sample_rate: int,
         audio = audio[:, None]
     n, c = audio.shape
     if bits == 16:
-        pcm = np.trunc(np.clip(audio, -1.0, 1.0) * 32767.0).astype("<i2")
+        if audio.dtype == np.int16:
+            # pre-quantized samples (e.g. on-device trunc(clip·32767),
+            # fetched as int16 to halve the host transfer) pass through
+            pcm = audio.astype("<i2", copy=False)
+        else:
+            pcm = np.trunc(np.clip(audio, -1.0, 1.0)
+                           * 32767.0).astype("<i2")
         payload = pcm.tobytes()
         tag = _WAVE_FORMAT_PCM
     elif bits == 24:
@@ -155,8 +161,11 @@ def write_aiff(path: str, audio: np.ndarray, sample_rate: int,
         audio = audio[:, None]
     n, c = audio.shape
     if bits == 16:
-        payload = np.trunc(
-            np.clip(audio, -1.0, 1.0) * 32767.0).astype(">i2").tobytes()
+        if audio.dtype == np.int16:
+            payload = audio.astype(">i2").tobytes()  # pre-quantized
+        else:
+            payload = np.trunc(
+                np.clip(audio, -1.0, 1.0) * 32767.0).astype(">i2").tobytes()
     elif bits == 24:
         v = np.trunc(np.clip(audio, -1.0, 1.0) * 8388607.0).astype(np.int32)
         b = np.empty((v.size, 3), np.uint8)

@@ -126,3 +126,34 @@ def test_mono_input_forced_stereo(tmp_path):
     ame_tpu.master_file(p_in, p_out, {"lufs": None})
     y, _ = W.read_wav(p_out)
     assert y.shape[1] == 2
+
+
+def test_master_array_int16_fetch_matches_float_path(tmp_path):
+    """The device-quantize int16 fetch fast path (e2e fetch is the
+    measured product bottleneck) must produce the same WAV as the host
+    float path to within 1 LSB (f32-vs-f64 trunc boundary cases), and
+    the identical loudness result."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ame_tpu.api import master_array
+    from ame_tpu.io.wav import read_wav
+
+    sr = 44100
+    rng = np.random.default_rng(5)
+    x = (0.3 * rng.standard_normal((sr, 2))).astype(np.float32)
+    settings = {"bass_boost": 1.5, "lufs": None, "mode": "quality"}
+
+    p16 = str(tmp_path / "fast.wav")
+    info_fast = master_array(x, sr, p16, settings)
+
+    # force the generic float path by writing 32-bit output
+    p32 = str(tmp_path / "slow.wav")
+    info_slow = master_array(x, sr, p32, dict(settings, bits=32))
+
+    y16, _ = read_wav(p16)
+    y32, _ = read_wav(p32)
+    # 16-bit grid vs the unquantized float32 master: trunc error is one
+    # step of the /32767 write scale plus the 32767/32768 read-back
+    # asymmetry — 2/32768 worst case
+    assert np.max(np.abs(y16 - y32)) <= (2.0 / 32768.0) + 1e-7
+    assert info_fast["n_samples"] == info_slow["n_samples"]

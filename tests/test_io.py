@@ -96,3 +96,41 @@ def test_audio_file_dispatch(tmp_path):
     assert sr == 44100 and y.shape == x.shape
     with pytest.raises(ValueError):
         write_audio(str(tmp_path / "x.xyz"), x, 44100)
+
+
+def test_write_wav_int16_passthrough(tmp_path):
+    """Pre-quantized int16 samples (the on-device quantize fast path)
+    must hit disk verbatim — byte-identical to the float formula on the
+    same grid values."""
+    import numpy as np
+    from ame_tpu.io.wav import read_wav, write_wav
+
+    rng = np.random.default_rng(3)
+    # -32768 excluded: the float formula clips at -32767, so only the
+    # int16 passthrough can represent it (full-scale negatives keep it)
+    pcm = rng.integers(-32767, 32768, size=(1024, 2)).astype(np.int16)
+    p_int = str(tmp_path / "i.wav")
+    write_wav(p_int, pcm, 44100, bits=16)
+    back, sr = read_wav(p_int)
+    assert sr == 44100
+    np.testing.assert_array_equal(
+        np.round(back * 32768.0).astype(np.int16), pcm)
+
+    # the float path on float values that trunc to the same grid
+    # (trunc is toward zero, so nudge each value away from zero)
+    floats = (pcm + np.where(pcm >= 0, 0.3, -0.3)) / 32767.0
+    p_float = str(tmp_path / "f.wav")
+    write_wav(p_float, floats, 44100, bits=16)
+    assert open(p_int, "rb").read() == open(p_float, "rb").read()
+
+
+def test_write_aiff_int16_passthrough(tmp_path):
+    import numpy as np
+    from ame_tpu.io.wav import read_aiff, write_aiff
+
+    pcm = np.array([[1000, -1000], [32767, -32768]], np.int16)
+    p = str(tmp_path / "i.aiff")
+    write_aiff(p, pcm, 44100, bits=16)
+    back, sr = read_aiff(p)
+    np.testing.assert_array_equal(
+        np.round(back * 32768.0).astype(np.int16), pcm)

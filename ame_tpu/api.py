@@ -67,7 +67,9 @@ def master_file(input_file: str, output_file: str,
     from ame_tpu.io import read_audio
 
     status_callback("Loading audio into device memory...")
-    audio, sr = read_audio(input_file)
+    # PCM16 sources stage as raw int16 (half the upload bytes on the
+    # dominant host->device transfer); master_array converts on device
+    audio, sr = read_audio(input_file, prefer_int16=True)
     return master_array(audio, sr, output_file, settings,
                         status_callback, progress_callback,
                         shard_time=shard_time)
@@ -78,9 +80,11 @@ def master_array(audio: np.ndarray, sr: int, output_file: str,
                  status_callback: Callable[[str], None] = _noop,
                  progress_callback: Callable[[int, int], None] = _noop,
                  shard_time: bool = False) -> dict:
-    """Master already-decoded audio [N, C] float32 (the fleet runner's
-    entry — its native loader prefetch-decodes upcoming tracks while the
-    device masters this one)."""
+    """Master already-decoded audio [N, C] float32 — or raw int16
+    (PCM16 staging fast path: converted on device, bit-identical to the
+    float conversion at half the upload). The fleet runner's entry —
+    its native loader prefetch-decodes upcoming tracks while the device
+    masters this one."""
     import jax.numpy as jnp
     from ame_tpu.graph.chain import master_graph
     from ame_tpu.io import force_stereo, write_audio
@@ -116,7 +120,14 @@ def master_array(audio: np.ndarray, sr: int, output_file: str,
         audio = np.concatenate(
             [audio, np.zeros((n_padded - n, audio.shape[1]), audio.dtype)])
 
-    x = jnp.asarray(audio, jnp.float32)
+    if audio.dtype == np.int16:
+        # int16 staging: upload raw samples, convert on device. k/32768
+        # is an exact power-of-2 scale, so this is bit-identical to the
+        # host float conversion (io/wav._decode_pcm) at half the bytes.
+        x = jnp.asarray(audio).astype(jnp.float32) * jnp.float32(
+            1.0 / 32768.0)
+    else:
+        x = jnp.asarray(audio, jnp.float32)
     if settings.mode == "compat":
         x = quantize.int16_roundtrip(x)
 

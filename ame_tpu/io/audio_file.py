@@ -34,11 +34,15 @@ def force_stereo(audio: np.ndarray) -> np.ndarray:
     return audio
 
 
-def read_audio(path: str):
-    """Decode any supported file -> ([N, C] float32 in [-1, 1), rate)."""
+def read_audio(path: str, prefer_int16: bool = False):
+    """Decode any supported file -> ([N, C] float32 in [-1, 1), rate).
+
+    ``prefer_int16``: PCM16 WAV may come back as raw int16 (the
+    mastering pipeline converts on device — half the staging upload);
+    every other format still returns float32."""
     ext = os.path.splitext(path)[1].lower()
     if ext in (".wav", ".wave"):
-        return _wav.read_wav(path)
+        return _wav.read_wav(path, prefer_int16=prefer_int16)
     if ext in (".aif", ".aiff", ".aifc"):
         return _wav.read_aiff(path)
     if ext == ".mp3":

@@ -50,8 +50,15 @@ def _decode_pcm(raw: bytes, bits: int, fmt: int, big_endian: bool = False):
     raise ValueError(f"unsupported PCM bit depth: {bits}")
 
 
-def read_wav(path: str):
-    """Returns (audio [N, C] float32, sample_rate int)."""
+def read_wav(path: str, prefer_int16: bool = False):
+    """Returns (audio [N, C] float32, sample_rate int).
+
+    ``prefer_int16``: for PCM16 files, return the raw little-endian
+    int16 samples instead of converting — the mastering pipeline
+    converts ON DEVICE (x.astype(f32)/32768, a bit-identical exact
+    power-of-2 division) so the host skips a 2x-sized float staging
+    upload plus the conversion pass. Non-PCM16 files still return
+    float32."""
     with open(path, "rb") as f:
         data = f.read()
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -75,7 +82,10 @@ def read_wav(path: str):
     if fmt is None or audio is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
     tag, channels, rate, bits = fmt
-    x = _decode_pcm(audio, bits, tag)
+    if prefer_int16 and tag == _WAVE_FORMAT_PCM and bits == 16:
+        x = np.frombuffer(audio, np.dtype("<i2"))
+    else:
+        x = _decode_pcm(audio, bits, tag)
     n = len(x) // channels
     return x[: n * channels].reshape(n, channels), rate
 

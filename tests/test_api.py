@@ -157,3 +157,45 @@ def test_master_array_int16_fetch_matches_float_path(tmp_path):
     # asymmetry — 2/32768 worst case
     assert np.max(np.abs(y16 - y32)) <= (2.0 / 32768.0) + 1e-7
     assert info_fast["n_samples"] == info_slow["n_samples"]
+
+
+def test_master_array_int16_staging_bit_identical(tmp_path):
+    """Raw int16 input (the PCM16 upload fast path) must produce
+    bit-identical output to the equivalent float32 input — k/32768 is
+    an exact power-of-2 scale on device and host alike."""
+    import numpy as np
+    from ame_tpu.api import master_array
+    from ame_tpu.io.wav import read_wav
+
+    sr = 44100
+    rng = np.random.default_rng(9)
+    pcm = (rng.integers(-20000, 20000, size=(sr // 2, 2))
+           .astype(np.int16))
+    settings = {"bass_boost": 2.0, "width": 1.2, "lufs": None,
+                "mode": "quality"}
+
+    p_i = str(tmp_path / "i.wav")
+    p_f = str(tmp_path / "f.wav")
+    master_array(pcm, sr, p_i, settings)
+    master_array(pcm.astype(np.float32) / 32768.0, sr, p_f, settings)
+    assert open(p_i, "rb").read() == open(p_f, "rb").read()
+
+
+def test_read_audio_prefer_int16(tmp_path):
+    """prefer_int16 returns raw PCM16 samples for 16-bit WAV and floats
+    for everything else."""
+    import numpy as np
+    from ame_tpu.io import read_audio
+    from ame_tpu.io.wav import write_wav
+
+    pcm = np.array([[100, -100], [32767, -32767]], np.int16)
+    p16 = str(tmp_path / "a16.wav")
+    write_wav(p16, pcm, 44100, bits=16)
+    a, sr = read_audio(p16, prefer_int16=True)
+    assert a.dtype == np.int16
+    np.testing.assert_array_equal(a, pcm)
+
+    p32 = str(tmp_path / "a32.wav")
+    write_wav(p32, pcm.astype(np.float32) / 32768.0, 44100, bits=32)
+    a32, _ = read_audio(p32, prefer_int16=True)
+    assert a32.dtype == np.float32

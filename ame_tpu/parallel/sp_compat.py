@@ -280,8 +280,13 @@ def _multiband_compat_sp(x, settings, sample_rate: float, mesh: Mesh,
     low_sos = design.butter_sos(4, C.MB_LOW_CROSSOVER_HZ, "lowpass", fs=sr)
     high_sos = design.butter_sos(4, C.MB_HIGH_CROSSOVER_HZ, "highpass",
                                  fs=sr)
-    low = sosfilt_sequence_parallel(low_sos, x, mesh, axis)
-    high = sosfilt_sequence_parallel(high_sos, x, mesh, axis)
+    if mesh.shape[axis] == 1:
+        # one shard: no carry — both crossovers in ONE MXU bank pass
+        from ame_tpu.ops.tile_conv import sosfilt_tileconv_bank
+        low, high = sosfilt_tileconv_bank([low_sos, high_sos], x)
+    else:
+        low = sosfilt_sequence_parallel(low_sos, x, mesh, axis)
+        high = sosfilt_sequence_parallel(high_sos, x, mesh, axis)
 
     def local(xl, lowl, highl):
         ln, c = xl.shape

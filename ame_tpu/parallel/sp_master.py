@@ -236,8 +236,15 @@ def _multiband_sp(x, sample_rate: float, settings, mesh: Mesh, axis: str,
     rel_decay = math.exp(-1.0 / (C.MB_RELEASE_MS * sample_rate / 1000.0))
     a_att = math.exp(-1.0 / (C.MB_ATTACK_MS * sample_rate / 1000.0))
 
-    bands = [sosfilt_sequence_parallel(sos_g, x, mesh, axis)
-             for sos_g in cascades]
+    if ndev == 1:
+        # one shard: no cross-shard carry exists, so the band split runs
+        # as ONE fused MXU bank contraction (the same engine the
+        # single-chip graph uses) instead of G separate sp IIR passes
+        from ame_tpu.ops.tile_conv import sosfilt_tileconv_bank
+        bands = list(sosfilt_tileconv_bank(cascades, x))
+    else:
+        bands = [sosfilt_sequence_parallel(sos_g, x, mesh, axis)
+                 for sos_g in cascades]
 
     th_a = np.asarray(th, np.float32).reshape(1, G)
     ra_a = np.asarray(ra, np.float32).reshape(1, G)

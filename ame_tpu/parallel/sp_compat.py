@@ -435,6 +435,15 @@ def _alimiter_sp(x, sample_rate: float, mesh: Mesh, axis: str,
     pieces_a = _wedge_pieces(float(A))
     scale = 1.0 / limit                      # auto-level, level_in/out = 1
     ndev = mesh.shape[axis]
+    if ndev == 1:
+        # one shard: no cross-shard piece carries — run the fused
+        # single-chip stage (one Pallas pass per direction instead of
+        # 12 separate scans + carry machinery). Outside shard_map: a
+        # pallas_call's ShapeDtypeStruct outputs trip check_vma inside
+        # one, and at a single device GSPMD needs no manual sharding.
+        from ame_tpu.ops.limiter import alimiter_compat
+        return alimiter_compat(x, sr, limit=limit, attack_ms=attack_ms,
+                               release_ms=release_ms)
 
     def local(xl):
         dt = xl.dtype

@@ -354,18 +354,27 @@ def _board(x, configs):
         def fetch(y):
             return float(np.asarray(y[0, 0]))
 
+        from jax.sharding import NamedSharding, PartitionSpec
+
         for mode, s in sp_settings.items():
             for ndev in sizes:
                 mesh = make_mesh({"sp": ndev},
                                  devices=jax.devices()[:ndev])
-                y, _ = master_sequence_parallel(xsp, SR, s, mesh)
+                # board-aligned protocol: input pre-staged with the sp
+                # sharding and reps matching _time_config, so the sp
+                # lines measure device time the way every other board
+                # line does (reps=3 with per-call host staging was
+                # under-amortizing dispatch overhead into the sp number)
+                xd = jax.device_put(
+                    xsp, NamedSharding(mesh, PartitionSpec("sp", None)))
+                y, _ = master_sequence_parallel(xd, SR, s, mesh)
                 fetch(y)   # warmup/compile
 
                 def one_sp():
                     t0 = time.perf_counter()
-                    reps = 3
+                    reps = 8
                     for _ in range(reps):
-                        yy, _ = master_sequence_parallel(xsp, SR, s, mesh)
+                        yy, _ = master_sequence_parallel(xd, SR, s, mesh)
                     fetch(yy)
                     per = (time.perf_counter() - t0) / reps
                     return (nsp / SR) / per
